@@ -1,0 +1,218 @@
+"""Typed dataclass config system.
+
+Capability parity: the reference genre's per-experiment YAML config files with
+data/model/optim/decode sections + argparse overrides (SURVEY.md L1 layer,
+§2a "Config system"). Here: nested frozen-ish dataclasses, JSON round-trip
+(serialized into every checkpoint for provenance), and dotted-path CLI
+overrides (`--set model.encoder=conformer --set train.lr=1e-3`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class FrontendConfig:
+    sample_rate: int = 16000
+    win_ms: float = 25.0
+    hop_ms: float = 10.0
+    n_fft: int = 512
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float | None = None  # None -> sample_rate / 2
+    preemphasis: float = 0.97
+    # normalization: 'utt' per-utterance CMVN, 'global' dataset stats, 'none'
+    cmvn: str = "utt"
+    # SpecAugment (train only)
+    spec_augment: bool = True
+    freq_mask_param: int = 27
+    n_freq_masks: int = 2
+    time_mask_param: int = 100
+    n_time_masks: int = 2
+    time_mask_ratio: float = 0.05  # cap time mask width at ratio * T
+    # implementation: 'jnp' (pure XLA) or 'pallas' (fused TPU kernel)
+    impl: str = "jnp"
+
+    @property
+    def win_length(self) -> int:
+        return int(round(self.sample_rate * self.win_ms / 1000.0))
+
+    @property
+    def hop_length(self) -> int:
+        return int(round(self.sample_rate * self.hop_ms / 1000.0))
+
+
+@dataclass
+class ModelConfig:
+    # encoder: 'blstm' | 'pblstm' | 'transformer' | 'conformer'
+    encoder: str = "blstm"
+    encoder_layers: int = 2
+    encoder_dim: int = 320          # per-direction LSTM hidden / transformer d_model
+    encoder_ffn_dim: int = 1280
+    encoder_heads: int = 4
+    encoder_dropout: float = 0.1
+    # pBLSTM: number of pyramid (2x time-downsample) layers among encoder_layers
+    pyramid_layers: int = 3
+    vgg_frontend: bool = False       # conv2d feature extractor before RNN stack
+    conv_subsample: int = 4          # transformer/conformer conv2d subsampling factor
+    conformer_kernel: int = 15
+    pos_encoding: str = "relative"   # 'relative' | 'absolute' for transformer/conformer
+    # decoder
+    decoder_layers: int = 1
+    decoder_dim: int = 320
+    embed_dim: int = 320
+    attention_dim: int = 320
+    location_kernel: int = 31        # location-aware attention conv kernel
+    location_filters: int = 32
+    decoder_dropout: float = 0.1
+    # heads
+    vocab_size: int = 32             # set from tokenizer at build time
+    ctc_weight: float = 0.3          # lambda in L = l*CTC + (1-l)*CE; 1.0 -> pure CTC
+    label_smoothing: float = 0.1
+    # LM
+    lm_layers: int = 2
+    lm_dim: int = 650
+    lm_embed_dim: int = 256
+    # numerics
+    dtype: str = "bfloat16"          # compute dtype for matmuls
+    param_dtype: str = "float32"
+
+
+@dataclass
+class DataConfig:
+    train_manifest: str = ""
+    dev_manifest: str = ""
+    test_manifest: str = ""
+    tokenizer: str = "char"          # 'char' | 'bpe'
+    tokenizer_path: str = ""
+    batch_frames: int = 160000       # max total samples per batch (bucketing budget)
+    batch_size: int = 16             # max utterances per batch
+    max_audio_s: float = 30.0
+    min_audio_s: float = 0.3
+    max_label_len: int = 256
+    # shape buckets: audio lengths padded up to one of N quantized shapes to
+    # bound XLA recompiles (SURVEY.md §7 hard part (c))
+    n_length_buckets: int = 8
+    shuffle: bool = True
+    seed: int = 0
+
+
+@dataclass
+class TrainConfig:
+    steps: int = 10000
+    eval_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    optimizer: str = "adamw"         # 'adamw' | 'adadelta'
+    lr: float = 1e-3
+    schedule: str = "noam"           # 'noam' | 'plateau' | 'constant' | 'cosine'
+    warmup_steps: int = 4000
+    weight_decay: float = 1e-6
+    grad_clip: float = 5.0
+    scheduled_sampling: float = 0.0  # prob of feeding model prediction in decoder
+    seed: int = 0
+    log_every: int = 50
+    metrics_path: str = "metrics.jsonl"
+    # parallelism (SURVEY.md §2c): mesh axes sizes; products must divide devices
+    dp: int = 1                      # data-parallel axis size ('data')
+    tp: int = 1                      # tensor-parallel axis size ('model')
+    donate: bool = True
+
+
+@dataclass
+class DecodeConfig:
+    mode: str = "greedy"             # 'greedy' | 'beam' | 'attention'
+    beam_size: int = 10
+    ctc_weight: float = 0.3          # decode-time joint weight
+    lm_weight: float = 0.0           # RNN-LM shallow fusion gamma
+    length_penalty: float = 0.0
+    max_decode_ratio: float = 0.5    # max output len = ratio * encoder frames
+    min_decode_ratio: float = 0.0
+    nbest: int = 1
+    pre_beam_k: int = 40             # candidates scored by CTC prefix scorer
+
+
+@dataclass
+class AsrConfig:
+    name: str = "default"
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    # ---- serialization ----
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "AsrConfig":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                    ftype = fields[k].type
+                    sub = _DATACLASS_BY_NAME.get(str(ftype).split(".")[-1])
+                    kwargs[k] = build(sub, v) if sub else v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "AsrConfig":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, dotted: str, value: str) -> "AsrConfig":
+        """Apply one `section.key=value` CLI override, parsing value by field type."""
+        cfg = self
+        parts = dotted.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        leaf, key = objs[-1], parts[-1]
+        fields = {f.name: f for f in dataclasses.fields(leaf)}
+        if key not in fields:
+            raise KeyError(f"unknown config key {dotted}")
+        cur = getattr(leaf, key)
+        setattr(leaf, key, _parse_value(value, cur))
+        return cfg
+
+
+def _parse_value(s: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return s.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(s)
+    if isinstance(current, float):
+        return float(s)
+    if current is None:
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return s
+    return s
+
+
+_DATACLASS_BY_NAME = {
+    c.__name__: c
+    for c in (FrontendConfig, ModelConfig, DataConfig, TrainConfig, DecodeConfig)
+}
+
+
+def parse_overrides(cfg: AsrConfig, pairs: list[str]) -> AsrConfig:
+    """Apply a list of 'a.b=c' strings (argparse --set)."""
+    for p in pairs:
+        k, _, v = p.partition("=")
+        cfg.override(k.strip(), v.strip())
+    return cfg

@@ -1,0 +1,39 @@
+"""Test env: force CPU backend with 8 virtual devices BEFORE jax import.
+
+SURVEY.md §4 "Distributed without a cluster": mesh/sharding/collective tests
+run on fake CPU devices so CI needs no TPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The machine image's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms='axon,cpu'; override it back to CPU for hermetic tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def digits_corpus(tmp_path_factory):
+    """Small synthetic corpus shared across tests."""
+    from pytorch_end2end_speech_recognition_tpu.data.synthetic import (
+        make_digits_corpus,
+    )
+
+    root = tmp_path_factory.mktemp("digits")
+    return make_digits_corpus(root, n_train=24, n_dev=6, n_test=6, max_digits=3)

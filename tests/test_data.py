@@ -1,0 +1,116 @@
+"""Data layer tests: audio I/O round-trip, tokenizers, manifests, bucketing."""
+
+import numpy as np
+
+from pytorch_end2end_speech_recognition_tpu.data.audio import (
+    load_audio,
+    read_wav,
+    resample,
+    write_wav,
+)
+from pytorch_end2end_speech_recognition_tpu.data.dataset import (
+    BucketedLoader,
+    prefetch,
+)
+from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
+from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+    BLANK_ID,
+    N_SPECIAL,
+    BpeTokenizer,
+    CharTokenizer,
+    Tokenizer,
+)
+from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig, DataConfig
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (0.5 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(x, y, atol=1e-4)
+
+
+def test_resample_length():
+    x = np.random.default_rng(0).standard_normal(8000).astype(np.float32)
+    y = resample(x, 8000, 16000)
+    assert abs(len(y) - 16000) <= 2
+
+
+def test_char_tokenizer_roundtrip(tmp_path):
+    corpus = ["HELLO WORLD", "SPEECH RECOGNITION"]
+    t = CharTokenizer(corpus)
+    ids = t.encode("hello world")
+    assert all(i >= N_SPECIAL for i in ids)
+    assert t.decode(ids) == "HELLO WORLD"
+    p = tmp_path / "tok.json"
+    t.save(p)
+    t2 = Tokenizer.load(p)
+    assert t2.encode("hello world") == ids
+
+
+def test_bpe_tokenizer_roundtrip(tmp_path):
+    corpus = ["THE CAT SAT ON THE MAT"] * 10 + ["THE DOG RAN"] * 5
+    t = BpeTokenizer(corpus, vocab_size=40)
+    ids = t.encode("the cat ran")
+    assert t.decode(ids) == "THE CAT RAN"
+    p = tmp_path / "bpe.json"
+    t.save(p)
+    t2 = Tokenizer.load(p)
+    assert t2.encode("the cat ran") == ids
+    assert t2.decode(ids) == "THE CAT RAN"
+
+
+def test_bucketed_loader_shapes(digits_corpus):
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    cfg = DataConfig(batch_size=4, n_length_buckets=3, batch_frames=10**9)
+    loader = BucketedLoader(utts, tok, cfg)
+    shape_set = set()
+    n_utts = 0
+    for b in loader:
+        assert b.audio.dtype == np.float32
+        assert b.tokens.dtype == np.int32
+        assert b.audio.shape[0] == b.tokens.shape[0]
+        # pad rows have zero length
+        n_utts += int((b.audio_lens > 0).sum())
+        # valid rows fit in padding
+        assert (b.audio_lens <= b.audio.shape[1]).all()
+        assert (b.token_lens <= b.tokens.shape[1]).all()
+        # padding of tokens is blank
+        for r in range(b.tokens.shape[0]):
+            assert (b.tokens[r, b.token_lens[r]:] == BLANK_ID).all()
+        shape_set.add(b.shape_key)
+    assert n_utts == len(loader.utts)
+    assert len(shape_set) <= len(loader.buckets)
+
+
+def test_loader_sharding(digits_corpus):
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    cfg = DataConfig(batch_size=4, n_length_buckets=2, shuffle=False)
+    ids = set()
+    for shard in range(2):
+        loader = BucketedLoader(utts, tok, cfg, shard_index=shard, num_shards=2)
+        for b in loader:
+            for i, uid in enumerate(b.ids):
+                assert uid not in ids
+                ids.add(uid)
+    assert len(ids) == len(utts)
+
+
+def test_prefetch_preserves_order():
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+
+def test_config_roundtrip_and_override():
+    cfg = AsrConfig()
+    cfg2 = AsrConfig.from_json(cfg.to_json())
+    assert cfg2.to_dict() == cfg.to_dict()
+    cfg2.override("model.encoder", "conformer")
+    cfg2.override("train.lr", "0.01")
+    cfg2.override("frontend.spec_augment", "false")
+    assert cfg2.model.encoder == "conformer"
+    assert cfg2.train.lr == 0.01
+    assert cfg2.frontend.spec_augment is False
