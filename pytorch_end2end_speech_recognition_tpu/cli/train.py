@@ -1,0 +1,84 @@
+"""Training entry point.
+
+Capability parity: the reference genre's `python main.py --config x.yaml`
+(SURVEY.md §2a "CLI entry points", L8). Usage:
+
+    python -m pytorch_end2end_speech_recognition_tpu.cli.train \
+        --config configs/an4_ctc.json [--set train.lr=1e-3 ...] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True, help="config JSON path or preset name")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="dotted config override, e.g. train.lr=1e-3")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <checkpoint_dir>/last")
+    ap.add_argument("--steps", type=int, default=None)
+    return ap
+
+
+def load_config(spec: str):
+    from pytorch_end2end_speech_recognition_tpu.configs import presets
+    from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+    if Path(spec).exists():
+        return AsrConfig.from_json(Path(spec).read_text())
+    if spec in presets.PRESETS:
+        return presets.PRESETS[spec]()
+    raise SystemExit(f"config '{spec}' is neither a file nor a preset "
+                     f"(presets: {sorted(presets.PRESETS)})")
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        Tokenizer,
+        build_tokenizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+    from pytorch_end2end_speech_recognition_tpu.utils.config import parse_overrides
+
+    cfg = parse_overrides(load_config(args.config), args.set)
+    train_utts = read_manifest(cfg.data.train_manifest)
+    if cfg.data.tokenizer_path and Path(cfg.data.tokenizer_path).exists():
+        tok = Tokenizer.load(cfg.data.tokenizer_path)
+    else:
+        tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts])
+        if cfg.data.tokenizer_path:
+            tok.save(cfg.data.tokenizer_path)
+    mesh = None
+    if cfg.train.dp * cfg.train.tp > 1:
+        from pytorch_end2end_speech_recognition_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
+    loader = BucketedLoader(train_utts, tok, cfg.data,
+                            sample_rate=cfg.frontend.sample_rate)
+    dev_loader = None
+    if cfg.data.dev_manifest:
+        dev_loader = BucketedLoader(
+            read_manifest(cfg.data.dev_manifest), tok, cfg.data,
+            sample_rate=cfg.frontend.sample_rate, train=False,
+        )
+    solver = Solver(cfg, tok, mesh=mesh)
+    if args.resume:
+        solver.load_checkpoint("last")
+    try:
+        solver.fit(loader, dev_loader, steps=args.steps)
+    finally:
+        solver.save_checkpoint("last")
+    print(f"done at step {solver.step}; best dev WER {solver.best_wer:.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""The joint ASR model: frontend + encoder + CTC head + attention decoder.
+
+Capability parity: the reference genre's top-level model assembled in
+`Solver` (SURVEY.md §3.1): encoder -> {ctc_logits, decoder}. The audio
+front-end lives INSIDE the model so the whole per-batch computation is one
+jitted program (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from pytorch_end2end_speech_recognition_tpu.models.decoder import AttentionDecoder
+from pytorch_end2end_speech_recognition_tpu.models.encoders import build_encoder
+from pytorch_end2end_speech_recognition_tpu.ops.frontend import Frontend
+from pytorch_end2end_speech_recognition_tpu.ops.specaugment import spec_augment
+from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+
+class CtcHead(nnx.Module):
+    """Linear projection to vocab (+blank at id 0) for CTC."""
+
+    def __init__(self, d_in: int, vocab: int, rngs: nnx.Rngs):
+        self.proj = nnx.Linear(d_in, vocab, rngs=rngs)
+
+    def __call__(self, enc: jnp.ndarray) -> jnp.ndarray:
+        return self.proj(enc).astype(jnp.float32)
+
+
+class AsrModel(nnx.Module):
+    def __init__(self, cfg: AsrConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.frontend = Frontend(cfg.frontend)
+        self.encoder = build_encoder(cfg.frontend.n_mels, cfg.model, rngs)
+        self.ctc_head = CtcHead(self.encoder.d_out, cfg.model.vocab_size, rngs)
+        self.decoder = (
+            AttentionDecoder(self.encoder.d_out, cfg.model, rngs)
+            if cfg.model.ctc_weight < 1.0
+            else None
+        )
+
+    def features(
+        self,
+        audio: jnp.ndarray,
+        audio_lens: jnp.ndarray,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ):
+        feats, flens = self.frontend(audio, audio_lens)
+        if train and self.cfg.frontend.spec_augment and rng is not None:
+            feats = spec_augment(rng, feats, flens, self.cfg.frontend)
+        return feats, flens
+
+    def encode(
+        self,
+        audio: jnp.ndarray,
+        audio_lens: jnp.ndarray,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ):
+        """audio (B, Ts) -> (enc (B, T', D), enc_lens (B,))."""
+        k_spec = k_enc = None
+        if rng is not None:
+            k_spec, k_enc = jax.random.split(rng)
+        feats, flens = self.features(audio, audio_lens, train, k_spec)
+        return self.encoder(feats, flens, train=train, rng=k_enc)
+
+    def ctc_logits(self, enc: jnp.ndarray) -> jnp.ndarray:
+        return self.ctc_head(enc)

@@ -1,0 +1,433 @@
+"""Encoder zoo: BiLSTM, pyramidal BiLSTM (+VGG), Transformer, Conformer.
+
+Capability parity: the reference genre's `model/encoder.py` nn.Modules
+(SURVEY.md §2a, BASELINE.json:7-10 config ladder). TPU-native design notes:
+
+- All encoders are Flax NNX modules taking (feats (B,T,F), frame_lens) and
+  returning (enc (B,T',D), enc_lens) with exact length math (tested).
+- LSTMs use `ops.rnn.lstm_scan` (hoisted input matmul + scan); attention uses
+  `jax.nn.dot_product_attention` with explicit padding masks; everything is
+  static-shape and jit-friendly.
+- Matmuls run in `cfg.dtype` (bfloat16 by default) with float32 params and
+  float32 residual stream where it matters for numerics.
+- Sharding: parameter initializers carry logical axis metadata via
+  `nnx.with_partitioning` handled in `parallel/sharding.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from pytorch_end2end_speech_recognition_tpu.ops.rnn import bilstm_layer
+from pytorch_end2end_speech_recognition_tpu.utils.config import ModelConfig
+
+
+def _dt(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def length_mask(lens: jnp.ndarray, T: int) -> jnp.ndarray:
+    return jnp.arange(T)[None, :] < lens[:, None]
+
+
+def dropout(x, rate: float, rng, train: bool, salt: int = 0):
+    """Stateless dropout: no-op unless train and rng given. Explicit keys keep
+    the train step purely functional (donation/sharding-friendly)."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(jax.random.fold_in(rng, salt), 1.0 - rate,
+                                x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class LstmParams(nnx.Module):
+    """One LSTM direction's parameters (W_ih, W_hh, b)."""
+
+    def __init__(self, d_in: int, d_hid: int, rngs: nnx.Rngs):
+        k = rngs.params()
+        k1, k2 = jax.random.split(k)
+        s_in = 1.0 / np.sqrt(d_in)
+        s_h = 1.0 / np.sqrt(d_hid)
+        self.w_ih = nnx.Param(
+            jax.random.uniform(k1, (d_in, 4 * d_hid), minval=-s_in, maxval=s_in))
+        self.w_hh = nnx.Param(
+            jax.random.uniform(k2, (d_hid, 4 * d_hid), minval=-s_h, maxval=s_h))
+        # forget-gate bias 1.0 for training stability
+        b = jnp.zeros((4 * d_hid,))
+        self.bias = nnx.Param(b.at[d_hid : 2 * d_hid].set(1.0))
+
+    def tup(self):
+        return (self.w_ih.value, self.w_hh.value, self.bias.value)
+
+
+class BiLstmLayer(nnx.Module):
+    """One bidirectional layer (fwd + bwd LstmParams); `pyramid` marks a
+    2x time-downsample (frame-pair concat) before this layer."""
+
+    def __init__(self, d_in: int, d_hid: int, rngs: nnx.Rngs, pyramid: bool = False):
+        self.pyramid = pyramid
+        self.fwd = LstmParams(d_in, d_hid, rngs)
+        self.bwd = LstmParams(d_in, d_hid, rngs)
+
+    def __call__(self, x, lens, dtype=jnp.float32):
+        return bilstm_layer(x, lens, self.fwd.tup(), self.bwd.tup(), dtype=dtype)
+
+
+class BiLstmEncoder(nnx.Module):
+    """Stacked bidirectional LSTM encoder (config 1, BASELINE.json:7)."""
+
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        H = cfg.encoder_dim
+        layers = []
+        d = d_in
+        for _ in range(cfg.encoder_layers):
+            layers.append(BiLstmLayer(d, H, rngs))
+            d = 2 * H
+        self.layers = nnx.List(layers)
+        self.d_out = 2 * H
+
+    def __call__(self, x, lens, train: bool = False, rng=None):
+        dt = _dt(self.cfg)
+        x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
+        for i, layer in enumerate(self.layers):
+            x = layer(x, lens, dtype=dt)
+            x = dropout(x, self.cfg.encoder_dropout, rng, train, salt=i)
+        return x, lens
+
+
+class VggExtractor(nnx.Module):
+    """VGG-style 2x(conv3x3,conv3x3,pool2) front (SURVEY.md §2a pBLSTM row).
+
+    (B, T, F) -> (B, T//4, F//4 * 128) with exact ceil-pool length math.
+    """
+
+    def __init__(self, n_mels: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        dt = _dt(cfg)
+        self.conv1a = nnx.Conv(1, 64, (3, 3), padding="SAME", dtype=dt, rngs=rngs)
+        self.conv1b = nnx.Conv(64, 64, (3, 3), padding="SAME", dtype=dt, rngs=rngs)
+        self.conv2a = nnx.Conv(64, 128, (3, 3), padding="SAME", dtype=dt, rngs=rngs)
+        self.conv2b = nnx.Conv(128, 128, (3, 3), padding="SAME", dtype=dt, rngs=rngs)
+        self.d_out = (n_mels // 4) * 128
+
+    def __call__(self, x, lens):
+        # re-mask between stages: conv bias + relu make pad frames nonzero,
+        # and the next conv would smear them into the valid boundary
+        def mask4(h, l):
+            return jnp.where(length_mask(l, h.shape[1])[:, :, None, None], h, 0.0)
+
+        h = mask4(x[..., None], lens)          # (B, T, F, 1)
+        h = mask4(jax.nn.relu(self.conv1a(h)), lens)
+        h = mask4(jax.nn.relu(self.conv1b(h)), lens)
+        h = nnx.max_pool(h, (2, 2), strides=(2, 2))
+        lens1 = lens // 2
+        h = mask4(h, lens1)
+        h = mask4(jax.nn.relu(self.conv2a(h)), lens1)
+        h = mask4(jax.nn.relu(self.conv2b(h)), lens1)
+        h = nnx.max_pool(h, (2, 2), strides=(2, 2))
+        lens2 = lens1 // 2
+        h = mask4(h, lens2)
+        B2, T2, F2, C = h.shape
+        h = h.reshape(B2, T2, F2 * C).astype(jnp.float32)
+        return h, lens2
+
+
+class PyramidalBiLstmEncoder(nnx.Module):
+    """LAS-style pBLSTM: concat adjacent frames between layers, halving time
+    (config 2, BASELINE.json:8). Total downsample 2**pyramid_layers (x VGG 4)."""
+
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        H = cfg.encoder_dim
+        self.vgg = VggExtractor(d_in, cfg, rngs) if cfg.vgg_frontend else None
+        d = self.vgg.d_out if self.vgg else d_in
+        layers = []
+        for i in range(cfg.encoder_layers):
+            pyramid = i > 0 and i <= cfg.pyramid_layers
+            if pyramid:
+                d = 2 * d
+            layers.append(BiLstmLayer(d, H, rngs, pyramid=pyramid))
+            d = 2 * H
+        self.layers = nnx.List(layers)
+        self.d_out = 2 * H
+
+    def downsample_factor(self) -> int:
+        f = 2 ** min(self.cfg.pyramid_layers, max(self.cfg.encoder_layers - 1, 0))
+        return f * (4 if self.vgg else 1)
+
+    def __call__(self, x, lens, train: bool = False, rng=None):
+        dt = _dt(self.cfg)
+        x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
+        if self.vgg:
+            x, lens = self.vgg(x, lens)
+        for i, layer in enumerate(self.layers):
+            if layer.pyramid:
+                B, T, D = x.shape
+                if T % 2:
+                    x = x[:, : T - 1]
+                    T -= 1
+                x = x.reshape(B, T // 2, 2 * D)
+                lens = lens // 2
+            x = layer(x, lens, dtype=dt)
+            x = dropout(x, self.cfg.encoder_dropout, rng, train, salt=i)
+        # zero out padding frames (bilstm already masks, but after reshape
+        # concat a half-valid pair can leak) — keep exact
+        x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
+        return x, lens
+
+
+class ConvSubsample(nnx.Module):
+    """2-layer stride-2 conv2d subsampling (x4) used by Transformer/Conformer
+    (SURVEY.md §2a Transformer row)."""
+
+    def __init__(self, n_mels: int, d_model: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        dt = _dt(cfg)
+        self.conv1 = nnx.Conv(1, d_model, (3, 3), strides=(2, 2), dtype=dt, rngs=rngs)
+        self.conv2 = nnx.Conv(
+            d_model, d_model, (3, 3), strides=(2, 2), dtype=dt, rngs=rngs
+        )
+        f_out = ((n_mels + 1) // 2 + 1) // 2
+        self.proj = nnx.Linear(f_out * d_model, d_model, dtype=dt, rngs=rngs)
+
+    def __call__(self, x, lens):
+        def mask4(h, l):
+            return jnp.where(length_mask(l, h.shape[1])[:, :, None, None], h, 0.0)
+
+        h = mask4(x[..., None], lens)
+        h = jax.nn.relu(self.conv1(h))
+        lens = (lens + 1) // 2
+        h = mask4(h, lens)
+        h = jax.nn.relu(self.conv2(h))
+        lens = (lens + 1) // 2
+        h = mask4(h, lens)
+        B, T, F, C = h.shape
+        h = self.proj(h.reshape(B, T, F * C)).astype(jnp.float32)
+        return h, lens
+
+
+def sinusoidal_pe(T: int, D: int) -> np.ndarray:
+    pos = np.arange(T)[:, None]
+    i = np.arange(D // 2)[None, :]
+    angle = pos / np.power(10000.0, 2 * i / D)
+    pe = np.zeros((T, D), np.float32)
+    pe[:, 0::2] = np.sin(angle)
+    pe[:, 1::2] = np.cos(angle)
+    return pe
+
+
+class RelPosBias(nnx.Module):
+    """Bucketed relative position bias added to attention scores.
+
+    TPU-friendly alternative to Transformer-XL's shift-trick rel-PE: a learned
+    (heads, n_buckets) table gathered into (1, H, T, T) — static shapes, no
+    gather over the big score tensor. Capability-equivalent to the genre's
+    'relative or sinusoidal PE' (SURVEY.md §2a).
+    """
+
+    def __init__(self, heads: int, rngs: nnx.Rngs, n_buckets: int = 64,
+                 max_dist: int = 256):
+        self.n_buckets = n_buckets
+        self.max_dist = max_dist
+        self.table = nnx.Param(
+            jax.random.normal(rngs.params(), (heads, n_buckets)) * 0.02)
+
+    def _bucket(self, rel: jnp.ndarray) -> jnp.ndarray:
+        nb = self.n_buckets // 2
+        sign = (rel > 0).astype(jnp.int32) * nb
+        arel = jnp.abs(rel)
+        half = nb // 2
+        exact = arel < half
+        log_ratio = jnp.log(jnp.maximum(arel.astype(jnp.float32), 1.0) / half)
+        log_den = np.log(self.max_dist / half)
+        big = half + (log_ratio / log_den * (nb - half)).astype(jnp.int32)
+        big = jnp.minimum(big, nb - 1)
+        return sign + jnp.where(exact, arel, big)
+
+    def __call__(self, T: int) -> jnp.ndarray:
+        rel = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]   # (T, T)
+        idx = self._bucket(rel)                                  # (T, T)
+        return self.table.value[:, idx][None]                    # (1, H, T, T)
+
+
+class MhsaBlock(nnx.Module):
+    """Pre-LN multi-head self-attention with padding mask + optional rel bias."""
+
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool):
+        D, H = cfg.encoder_dim, cfg.encoder_heads
+        dt = _dt(cfg)
+        self.ln = nnx.LayerNorm(D, rngs=rngs)
+        self.q = nnx.Linear(D, D, dtype=dt, rngs=rngs)
+        self.k = nnx.Linear(D, D, dtype=dt, rngs=rngs)
+        self.v = nnx.Linear(D, D, dtype=dt, rngs=rngs)
+        self.o = nnx.Linear(D, D, dtype=dt, rngs=rngs)
+        self.heads = H
+        self.rel = RelPosBias(H, rngs) if relative else None
+        self.rate = cfg.encoder_dropout
+
+    def __call__(self, x, mask, train: bool = False, rng=None):
+        B, T, D = x.shape
+        h = self.ln(x)
+        q = self.q(h).reshape(B, T, self.heads, -1)
+        k = self.k(h).reshape(B, T, self.heads, -1)
+        v = self.v(h).reshape(B, T, self.heads, -1)
+        bias = None
+        if self.rel is not None:
+            bias = self.rel(T).astype(q.dtype)
+        safe_mask = mask | (jnp.arange(T)[None, :] == 0)        # avoid all-masked
+        attn_mask = safe_mask[:, None, None, :]                 # (B,1,1,T)
+        y = jax.nn.dot_product_attention(
+            q, k, v, bias=bias, mask=attn_mask
+        )
+        y = self.o(y.reshape(B, T, D)).astype(jnp.float32)
+        y = dropout(y, self.rate, rng, train)
+        return x + y
+
+
+class FfnBlock(nnx.Module):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, scale: float = 1.0):
+        D = cfg.encoder_dim
+        dt = _dt(cfg)
+        self.scale = scale
+        self.ln = nnx.LayerNorm(D, rngs=rngs)
+        self.fc1 = nnx.Linear(D, cfg.encoder_ffn_dim, dtype=dt, rngs=rngs)
+        self.fc2 = nnx.Linear(cfg.encoder_ffn_dim, D, dtype=dt, rngs=rngs)
+        self.rate = cfg.encoder_dropout
+
+    def __call__(self, x, train: bool = False, rng=None):
+        h = self.fc2(jax.nn.silu(self.fc1(self.ln(x)))).astype(jnp.float32)
+        h = dropout(h, self.rate, rng, train)
+        return x + self.scale * h
+
+
+class TransformerBlock(nnx.Module):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool):
+        self.mhsa = MhsaBlock(cfg, rngs, relative=relative)
+        self.ffn = FfnBlock(cfg, rngs)
+
+    def __call__(self, x, mask, train: bool = False, rng=None):
+        k1 = k2 = None
+        if rng is not None:
+            k1, k2 = jax.random.split(rng)
+        return self.ffn(self.mhsa(x, mask, train, k1), train, k2)
+
+
+class TransformerEncoder(nnx.Module):
+    """Conv-subsampled Transformer encoder (config 3, BASELINE.json:9)."""
+
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        D = cfg.encoder_dim
+        self.sub = ConvSubsample(d_in, D, cfg, rngs)
+        self.relative = cfg.pos_encoding == "relative"
+        self.blocks = nnx.List(
+            [TransformerBlock(cfg, rngs, self.relative)
+             for _ in range(cfg.encoder_layers)]
+        )
+        self.ln_out = nnx.LayerNorm(D, rngs=rngs)
+        self.rate = cfg.encoder_dropout
+        self.d_out = D
+
+    def __call__(self, x, lens, train: bool = False, rng=None):
+        x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
+        x, lens = self.sub(x, lens)
+        T = x.shape[1]
+        if not self.relative:
+            x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2]))
+        x = dropout(x, self.rate, rng, train, salt=999)
+        mask = length_mask(lens, T)
+        for i, blk in enumerate(self.blocks):
+            k = jax.random.fold_in(rng, i) if rng is not None else None
+            x = blk(x, mask, train, k)
+        x = self.ln_out(x)
+        x = jnp.where(mask[..., None], x, 0.0)
+        return x, lens
+
+
+class ConvModule(nnx.Module):
+    """Conformer convolution module: pointwise-GLU -> depthwise -> BN/LN -> pw."""
+
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs):
+        D = cfg.encoder_dim
+        dt = _dt(cfg)
+        self.ln = nnx.LayerNorm(D, rngs=rngs)
+        self.pw1 = nnx.Linear(D, 2 * D, dtype=dt, rngs=rngs)
+        self.dw = nnx.Conv(
+            D, D, (cfg.conformer_kernel,), padding="SAME",
+            feature_group_count=D, dtype=dt, rngs=rngs,
+        )
+        # LayerNorm instead of BatchNorm: batch stats don't mix across padded
+        # frames and it shards trivially (standard TPU conformer practice)
+        self.norm = nnx.LayerNorm(D, rngs=rngs)
+        self.pw2 = nnx.Linear(D, D, dtype=dt, rngs=rngs)
+        self.rate = cfg.encoder_dropout
+
+    def __call__(self, x, mask, train: bool = False, rng=None):
+        h = self.ln(x)
+        h = nnx.glu(self.pw1(h), axis=-1)
+        h = jnp.where(mask[..., None], h, 0.0)  # depthwise conv must not see pad
+        h = self.dw(h)
+        h = jax.nn.silu(self.norm(h.astype(jnp.float32)))
+        h = self.pw2(h).astype(jnp.float32)
+        h = dropout(h, self.rate, rng, train)
+        return x + h
+
+
+class ConformerBlock(nnx.Module):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs):
+        self.ff1 = FfnBlock(cfg, rngs, scale=0.5)
+        self.mhsa = MhsaBlock(cfg, rngs, relative=cfg.pos_encoding == "relative")
+        self.conv = ConvModule(cfg, rngs)
+        self.ff2 = FfnBlock(cfg, rngs, scale=0.5)
+        self.ln = nnx.LayerNorm(cfg.encoder_dim, rngs=rngs)
+
+    def __call__(self, x, mask, train: bool = False, rng=None):
+        ks = [None] * 4
+        if rng is not None:
+            ks = list(jax.random.split(rng, 4))
+        x = self.ff1(x, train, ks[0])
+        x = self.mhsa(x, mask, train, ks[1])
+        x = self.conv(x, mask, train, ks[2])
+        x = self.ff2(x, train, ks[3])
+        return self.ln(x)
+
+
+class ConformerEncoder(nnx.Module):
+    """Conformer encoder (config 4, BASELINE.json:10)."""
+
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+        self.cfg = cfg
+        D = cfg.encoder_dim
+        self.sub = ConvSubsample(d_in, D, cfg, rngs)
+        self.blocks = nnx.List(
+            [ConformerBlock(cfg, rngs) for _ in range(cfg.encoder_layers)]
+        )
+        self.rate = cfg.encoder_dropout
+        self.d_out = D
+
+    def __call__(self, x, lens, train: bool = False, rng=None):
+        x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
+        x, lens = self.sub(x, lens)
+        T = x.shape[1]
+        x = dropout(x, self.rate, rng, train, salt=999)
+        mask = length_mask(lens, T)
+        for i, blk in enumerate(self.blocks):
+            k = jax.random.fold_in(rng, i) if rng is not None else None
+            x = blk(x, mask, train, k)
+        x = jnp.where(mask[..., None], x, 0.0)
+        return x, lens
+
+
+def build_encoder(d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+    kind = cfg.encoder
+    if kind == "blstm":
+        return BiLstmEncoder(d_in, cfg, rngs)
+    if kind == "pblstm":
+        return PyramidalBiLstmEncoder(d_in, cfg, rngs)
+    if kind == "transformer":
+        return TransformerEncoder(d_in, cfg, rngs)
+    if kind == "conformer":
+        return ConformerEncoder(d_in, cfg, rngs)
+    raise ValueError(f"unknown encoder kind {kind}")

@@ -1,0 +1,92 @@
+"""End-to-end smoke: overfit BiLSTM+CTC on the synthetic digits corpus to
+near-zero WER (SURVEY.md §4 'End-to-end smoke', BASELINE.json:7 config 1),
+plus checkpoint resume and determinism."""
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
+from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
+from pytorch_end2end_speech_recognition_tpu.data.tokenizer import CharTokenizer
+from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+
+def _cfg(tmp_path):
+    cfg = AsrConfig()
+    cfg.model.encoder = "blstm"
+    cfg.model.encoder_layers = 2
+    cfg.model.encoder_dim = 96
+    cfg.model.ctc_weight = 1.0
+    cfg.model.dtype = "float32"
+    cfg.frontend.spec_augment = False
+    cfg.data.batch_size = 8
+    cfg.data.n_length_buckets = 2
+    cfg.train.lr = 1e-3
+    cfg.train.schedule = "constant"
+    cfg.train.log_every = 100
+    cfg.train.metrics_path = str(tmp_path / "metrics.jsonl")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, digits_corpus):
+    tmp = tmp_path_factory.mktemp("train")
+    cfg = _cfg(tmp)
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    loader = BucketedLoader(utts, tok, cfg.data)
+    solver = Solver(cfg, tok)
+    solver.fit(loader, steps=500)
+    return cfg, tok, loader, solver
+
+
+def test_overfit_wer(trained):
+    cfg, tok, loader, solver = trained
+    assert solver.evaluate(loader) < 0.1
+
+
+def test_checkpoint_resume_exact(trained):
+    cfg, tok, loader, solver = trained
+    wer0 = solver.evaluate(loader)
+    solver.save_checkpoint("last")
+    fresh = Solver(cfg, tok)
+    assert fresh.evaluate(loader) > 0.5  # untrained is bad
+    fresh.load_checkpoint("last")
+    assert fresh.step == solver.step
+    assert abs(fresh.evaluate(loader) - wer0) < 1e-9
+
+
+def test_first_step_deterministic(digits_corpus, tmp_path):
+    cfg = _cfg(tmp_path)
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    losses = []
+    for _ in range(2):
+        loader = BucketedLoader(utts, tok, cfg.data)
+        solver = Solver(cfg, tok)
+        h = solver.fit(loader, steps=1)
+        batch = next(iter(loader.epoch(0)))
+        arrays = solver._put(batch)
+        key = jax.random.PRNGKey(0)
+        _, _, _, metrics = solver._train_step(
+            solver.params, solver.opt_state, solver.rest, *arrays, key
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[0] == losses[1]
+
+
+def test_hybrid_attention_training_steps(digits_corpus, tmp_path):
+    """Hybrid CTC+attention train step runs and improves loss."""
+    cfg = _cfg(tmp_path)
+    cfg.model.ctc_weight = 0.3
+    cfg.model.decoder_layers = 1
+    cfg.train.lr = 1e-3
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    loader = BucketedLoader(utts, tok, cfg.data)
+    solver = Solver(cfg, tok)
+    hist = solver.fit(loader, steps=100)
+    assert hist["loss"][-1] < hist["loss"][0] * 1.05
