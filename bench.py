@@ -1,0 +1,86 @@
+"""Headline benchmark: audio-seconds/s/chip for encode + CTC (BASELINE.json:2).
+
+Runs on whatever accelerator JAX sees (the real TPU under the driver; falls
+back to CPU elsewhere). Prints exactly ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against REF_AUDIO_S_PER_S, a genre-anchored single-GPU
+figure for a conformer-class encoder forward (no published reference number is
+recoverable — BASELINE.json:13 `published: {}`; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REF_AUDIO_S_PER_S = 400.0  # genre-anchored placeholder (BASELINE.md)
+
+BATCH = 8
+UTT_SECONDS = 30.0
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from __graft_entry__ import _flagship_cfg
+    from pytorch_end2end_speech_recognition_tpu.models.asr import AsrModel
+    from pytorch_end2end_speech_recognition_tpu.ops.ctc import ctc_greedy_decode
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    cfg = _flagship_cfg(small=not on_tpu)
+    if not on_tpu:
+        cfg.model.dtype = "float32"
+
+    model = AsrModel(cfg, nnx.Rngs(0))
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(audio, audio_lens):
+        m = nnx.merge(graphdef, state)
+        enc, enc_lens = m.encode(audio, audio_lens, train=False)
+        logits = m.ctc_logits(enc)
+        toks, lens = ctc_greedy_decode(logits, enc_lens)
+        return toks, lens
+
+    sr = cfg.frontend.sample_rate
+    Ts = int(UTT_SECONDS * sr)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((BATCH, Ts)).astype(np.float32) * 0.1)
+    audio_lens = jnp.full((BATCH,), Ts, jnp.int32)
+
+    for _ in range(WARMUP):
+        toks, lens = fwd(audio, audio_lens)
+        toks.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        toks, lens = fwd(audio, audio_lens)
+        toks.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_s = BATCH * UTT_SECONDS * ITERS
+    value = audio_s / dt
+    print(
+        f"[bench] device={dev} model={cfg.name} "
+        f"enc_layers={cfg.model.encoder_layers} d={cfg.model.encoder_dim} "
+        f"batch={BATCH} utt={UTT_SECONDS}s iters={ITERS} wall={dt:.3f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "audio_s_per_s_per_chip_encode_ctc_greedy",
+        "value": round(value, 2),
+        "unit": "audio-seconds/second/chip",
+        "vs_baseline": round(value / REF_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
