@@ -66,7 +66,7 @@ def main(argv=None):
             )
 
             lm = load_lm(args.lm_checkpoint, cfg, tok)
-        beam = BeamSearchDecoder(solver.model, cfg.decode, lm=lm)
+        beam = BeamSearchDecoder(solver.merged_model(), cfg.decode, lm=lm)
 
     wer_stats, cer_stats = ErrorStats(), ErrorStats()
     nbest_f = open(args.nbest_out, "w") if args.nbest_out else None

@@ -70,8 +70,25 @@ def main(argv=None):
     hyps = solver.decode_batch(b)
     for r, h in list(zip(b.texts, hyps))[:4]:
         print(f"  ref: {r}\n  hyp: {h}", file=sys.stderr)
+    result = {"train_wer": train_wer, "dev_wer": dev_wer}
+    if args.ctc_weight < 1.0:
+        from pytorch_end2end_speech_recognition_tpu.decode.beam import (
+            BeamSearchDecoder,
+        )
+        from pytorch_end2end_speech_recognition_tpu.metrics.wer import ErrorStats
+
+        beam = BeamSearchDecoder(solver.merged_model(), cfg.decode)
+        stats = ErrorStats()
+        for batch in dev.epoch(0):
+            for i, r in enumerate(beam.decode_batch(batch, tok)):
+                if batch.audio_lens[i] == 0:
+                    continue
+                hyp = r[0]["text"] if r else ""
+                stats.update(batch.texts[i].split(), hyp.split())
+        result["beam_dev_wer"] = stats.rate
+        print(f"beam dev WER {stats.rate:.3f}", file=sys.stderr)
     print(f"train WER {train_wer:.3f}  dev WER {dev_wer:.3f}", file=sys.stderr)
-    print({"train_wer": train_wer, "dev_wer": dev_wer})
+    print(result)
     return train_wer
 
 

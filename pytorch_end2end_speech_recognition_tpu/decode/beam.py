@@ -1,0 +1,349 @@
+"""On-device joint CTC/attention beam search with RNN-LM shallow fusion.
+
+Capability parity: the reference genre's `BeamSearch` + `CTCPrefixScore` +
+shallow fusion + N-best (SURVEY.md §2a "Joint beam search", §3.2). The genre
+keeps hypotheses as Python objects and ping-pongs host<->device per token —
+the pain point BASELINE.json:5 mandates away. TPU-native design:
+
+- ALL hypothesis state lives in fixed-shape device arrays (B, K, ...);
+  the decode loop is a single `lax.while_loop` inside one jitted program.
+- Beams are vectorized (PAPERS.md 1811.04568): the decoder/LM step runs on
+  the flattened (B*K) "batch"; beam reordering is one gather.
+- The CTC prefix scorer is a `lax.scan` over encoder frames carrying the
+  (r_n, r_b) lattice columns for all (beam, candidate) pairs at once —
+  the genre's per-token O(T) Python loop becomes one vectorized scan.
+- Pre-beam pruning: only the top `pre_beam_k` tokens by attention(+LM) score
+  get CTC-prefix-scored (P+1 candidate slots per beam; slot P is eos for
+  live hyps / keep for finished ones).
+
+Score(h) = ctc_w * psi_ctc(h) + (1-ctc_w) * logP_att(h) + lm_w * logP_lm(h)
+           + length_penalty * |h|        (identical to decode/oracle.py)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+    BLANK_ID,
+    SOS_EOS_ID,
+)
+from pytorch_end2end_speech_recognition_tpu.utils.config import DecodeConfig
+
+NEG_INF = -1e30
+
+
+def log_add(a, b):
+    m = jnp.maximum(a, b)
+    return jnp.where(
+        m > NEG_INF / 2, m + jnp.log1p(jnp.exp(-jnp.abs(a - b))), m
+    )
+
+
+def _tile_beam(x, K):
+    """(B, ...) -> (B*K, ...) repeating each row K times."""
+    return jnp.repeat(x, K, axis=0)
+
+
+class BeamSearchDecoder:
+    """Jitted joint beam search over a bucketed batch."""
+
+    def __init__(self, model, cfg: DecodeConfig, lm=None):
+        self.cfg = cfg
+        self.model_split = nnx.split(model)
+        self.lm_split = nnx.split(lm) if lm is not None else None
+        self._compiled = lru_cache(maxsize=32)(self._build)
+
+    # -------------------------------------------------------------- search
+    def _build(self, B: int, T_enc: int, max_len: int):
+        cfg = self.cfg
+        K = cfg.beam_size
+        P = cfg.pre_beam_k
+        graphdef, state = self.model_split
+        lm_split = self.lm_split
+
+        def search(enc, enc_lens, ctc_logp, min_lens):
+            model = nnx.merge(graphdef, state)
+            lm = nnx.merge(*lm_split) if lm_split is not None else None
+            V = ctc_logp.shape[-1]
+            Pk = min(P, V - 2)
+
+            # ---- static per-utterance tensors
+            mask = jnp.arange(T_enc)[None, :] < enc_lens[:, None]      # (B,T)
+            keys = model.decoder.att.precompute(enc)                   # (B,T,A)
+            enc_t = _tile_beam(enc, K)
+            keys_t = _tile_beam(keys, K)
+            mask_t = _tile_beam(mask, K)
+            # CTC logp with pad frames: blank certain, labels impossible
+            t_idx = jnp.arange(T_enc)[None, :, None]
+            pad = t_idx >= enc_lens[:, None, None]
+            blank_row = jnp.full((V,), NEG_INF).at[BLANK_ID].set(0.0)
+            lp = jnp.where(pad, blank_row[None, None, :], ctc_logp)    # (B,T,V)
+            lp_blank = lp[:, :, BLANK_ID]                              # (B,T)
+
+            # ---- initial beam state
+            dec_state = model.decoder.init_state(B * K, T_enc)
+            lm_state = lm.init_state(B * K) if lm is not None else None
+            r_init_b = jnp.cumsum(lp_blank, axis=1)                    # (B,T)
+            r_state = jnp.stack(
+                [jnp.full((B, T_enc), NEG_INF), r_init_b], axis=-1
+            )[:, None].repeat(K, axis=1)                               # (B,K,T,2)
+            state0 = {
+                "step": jnp.asarray(0),
+                "tokens": jnp.zeros((B, K, max_len), jnp.int32),
+                "lengths": jnp.zeros((B, K), jnp.int32),
+                "last": jnp.full((B, K), SOS_EOS_ID, jnp.int32),
+                "att_cum": jnp.where(
+                    jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+                ) * jnp.ones((B, 1)),
+                "lm_cum": jnp.zeros((B, K)),
+                "total": jnp.where(
+                    jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+                ) * jnp.ones((B, 1)),
+                "finished": jnp.zeros((B, K), bool),
+                "r_state": r_state,
+                "dec_state": dec_state,
+                "lm_state": lm_state,
+            }
+
+            def ctc_prefix_scores(last, lengths, r_state, cand):
+                """psi (B,K,Pk) for prefix+cand and new r (B,K,Pk,T,2)."""
+                lp_c = jnp.take_along_axis(
+                    lp[:, None, :, :], cand[:, :, None, :], axis=3
+                )                                                      # (B,K,T,Pk)
+                lp_c = lp_c.transpose(2, 0, 1, 3)                      # (T,B,K,Pk)
+                same = cand == last[:, :, None]                        # (B,K,Pk)
+                empty = (lengths == 0)[:, :, None]                     # (B,K,1)
+                r_prev = jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.full((B, K, 1), NEG_INF),
+                                jnp.where(empty, 0.0, NEG_INF),
+                            ], axis=-1
+                        ),                                             # t=-1
+                        r_state[:, :, : T_enc - 1],
+                    ], axis=2,
+                )                                                      # (B,K,T,2)
+                phi = jnp.where(
+                    same[:, :, None, :],
+                    r_prev[..., 1:2],
+                    log_add(r_prev[..., 1:2], r_prev[..., 0:1]),
+                )                                                      # (B,K,T,Pk)
+                phi = phi.transpose(2, 0, 1, 3)                        # (T,B,K,Pk)
+                lpb = lp_blank.T                                       # (T,B)
+
+                def step_t(carry, inp):
+                    prev_n, prev_b, psi = carry
+                    lp_ct, phi_t, lpb_t = inp
+                    new_n = log_add(prev_n, phi_t) + lp_ct
+                    new_b = log_add(prev_b, prev_n) + lpb_t[:, None, None]
+                    psi = log_add(psi, phi_t + lp_ct)
+                    return (new_n, new_b, psi), jnp.stack(
+                        [new_n, new_b], axis=-1
+                    )
+
+                init = (
+                    jnp.full((B, K, Pk), NEG_INF),
+                    jnp.full((B, K, Pk), NEG_INF),
+                    jnp.full((B, K, Pk), NEG_INF),
+                )
+                (_, _, psi), r_new = jax.lax.scan(
+                    step_t, init, (lp_c, phi, lpb)
+                )
+                return psi, r_new.transpose(1, 2, 3, 0, 4)             # (B,K,Pk,T,2)
+
+            ctc_w, lm_w = cfg.ctc_weight, cfg.lm_weight
+            lp_pen = cfg.length_penalty
+
+            def cond(s):
+                return (s["step"] < max_len) & ~jnp.all(s["finished"])
+
+            def body(s):
+                step = s["step"]
+                att_logp_flat, new_dec_state, _ = model.decoder.step(
+                    s["last"].reshape(B * K), s["dec_state"], keys_t, enc_t,
+                    mask_t,
+                )
+                att_logp = att_logp_flat.reshape(B, K, V)
+                if lm is not None:
+                    lm_logp_flat, new_lm_state = lm.step(
+                        s["last"].reshape(B * K), s["lm_state"]
+                    )
+                    lm_logp = lm_logp_flat.reshape(B, K, V)
+                else:
+                    lm_logp = jnp.zeros((B, K, V))
+                    new_lm_state = None
+
+                # ---- pre-beam candidates (never blank/eos)
+                pre = (1.0 - ctc_w) * att_logp + lm_w * lm_logp
+                pre = pre.at[:, :, BLANK_ID].set(NEG_INF)
+                pre = pre.at[:, :, SOS_EOS_ID].set(NEG_INF)
+                _, cand = jax.lax.top_k(pre, Pk)                       # (B,K,Pk)
+
+                # ---- CTC prefix scores for candidates
+                if ctc_w > 0:
+                    psi, r_new = ctc_prefix_scores(
+                        s["last"], s["lengths"], s["r_state"], cand
+                    )
+                else:
+                    psi = jnp.zeros((B, K, Pk))
+                    r_new = jnp.zeros((B, K, Pk, T_enc, 2))
+
+                att_c = jnp.take_along_axis(att_logp, cand, axis=2)
+                lm_c = jnp.take_along_axis(lm_logp, cand, axis=2)
+                new_att_cum = s["att_cum"][:, :, None] + att_c
+                new_lm_cum = s["lm_cum"][:, :, None] + lm_c
+                ext_total = (
+                    (1.0 - ctc_w) * new_att_cum
+                    + ctc_w * psi
+                    + lm_w * new_lm_cum
+                    + lp_pen * (s["lengths"] + 1)[:, :, None]
+                )
+                # dead/finished beams don't extend
+                live = ~s["finished"] & (s["total"] > NEG_INF / 2)
+                ext_total = jnp.where(live[:, :, None], ext_total, NEG_INF)
+
+                # ---- slot Pk: eos (live) or keep (finished)
+                ctc_eos = log_add(
+                    s["r_state"][:, :, T_enc - 1, 0],
+                    s["r_state"][:, :, T_enc - 1, 1],
+                ) if ctc_w > 0 else jnp.zeros((B, K))
+                eos_att = s["att_cum"] + att_logp[:, :, SOS_EOS_ID]
+                eos_lm = s["lm_cum"] + lm_logp[:, :, SOS_EOS_ID]
+                eos_total = (
+                    (1.0 - ctc_w) * eos_att + ctc_w * ctc_eos
+                    + lm_w * eos_lm + lp_pen * s["lengths"]
+                )
+                eos_ok = step >= min_lens[:, None]
+                eos_total = jnp.where(live & eos_ok, eos_total, NEG_INF)
+                keep_total = jnp.where(s["finished"], s["total"], eos_total)
+
+                # ---- global top-K over K*(Pk+1) candidates
+                all_scores = jnp.concatenate(
+                    [ext_total, keep_total[:, :, None]], axis=2
+                ).reshape(B, K * (Pk + 1))
+                top_scores, top_idx = jax.lax.top_k(all_scores, K)     # (B,K)
+                parent = top_idx // (Pk + 1)                           # (B,K)
+                slot = top_idx % (Pk + 1)
+                is_ext = slot < Pk
+                slot_c = jnp.minimum(slot, Pk - 1)
+
+                def g2(x):  # gather (B,K,...) by parent
+                    return jnp.take_along_axis(
+                        x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)),
+                        axis=1,
+                    )
+
+                tok_ext = jnp.take_along_axis(
+                    g2(cand), slot_c[:, :, None], axis=2
+                )[:, :, 0]
+                p_tokens = g2(s["tokens"])
+                p_lengths = g2(s["lengths"])
+                new_tokens = jnp.where(
+                    is_ext[:, :, None]
+                    & (jnp.arange(max_len)[None, None, :]
+                       == p_lengths[:, :, None]),
+                    tok_ext[:, :, None], p_tokens,
+                )
+                new_lengths = p_lengths + is_ext.astype(jnp.int32)
+                psi_sel = jnp.take_along_axis(
+                    g2(psi), slot_c[:, :, None], axis=2
+                )[:, :, 0]
+                r_sel = jnp.take_along_axis(
+                    g2(r_new), slot_c[:, :, None, None, None], axis=2
+                )[:, :, 0]
+                att_sel = jnp.take_along_axis(
+                    g2(new_att_cum), slot_c[:, :, None], axis=2
+                )[:, :, 0]
+                lm_sel = jnp.take_along_axis(
+                    g2(new_lm_cum), slot_c[:, :, None], axis=2
+                )[:, :, 0]
+                was_finished = g2(s["finished"])
+
+                flat_parent = (
+                    jnp.arange(B)[:, None] * K + parent
+                ).reshape(B * K)
+
+                def gd(x):  # gather decoder/LM state (B*K, ...)
+                    return jnp.take(x, flat_parent, axis=0)
+
+                new_dec_state = jax.tree_util.tree_map(gd, new_dec_state)
+                if new_lm_state is not None:
+                    new_lm_state = jax.tree_util.tree_map(gd, new_lm_state)
+
+                return {
+                    "step": step + 1,
+                    "tokens": new_tokens,
+                    "lengths": new_lengths,
+                    "last": jnp.where(is_ext, tok_ext, g2(s["last"])),
+                    "att_cum": jnp.where(is_ext, att_sel, g2(s["att_cum"])),
+                    "lm_cum": jnp.where(is_ext, lm_sel, g2(s["lm_cum"])),
+                    "total": top_scores,
+                    "finished": jnp.where(is_ext, False, True) | was_finished,
+                    "r_state": jnp.where(
+                        is_ext[:, :, None, None], r_sel, g2(s["r_state"])
+                    ),
+                    "dec_state": new_dec_state,
+                    "lm_state": new_lm_state,
+                }
+
+            out = jax.lax.while_loop(cond, body, state0)
+            order = jnp.argsort(-out["total"], axis=1)
+            return {
+                "tokens": jnp.take_along_axis(
+                    out["tokens"], order[:, :, None], axis=1
+                ),
+                "lengths": jnp.take_along_axis(out["lengths"], order, axis=1),
+                "scores": jnp.take_along_axis(out["total"], order, axis=1),
+                "finished": jnp.take_along_axis(out["finished"], order, axis=1),
+            }
+
+        return jax.jit(search)
+
+    # -------------------------------------------------------------- public
+    def search_arrays(self, enc, enc_lens, ctc_logp, max_len: int,
+                      min_lens=None):
+        B, T_enc, _ = enc.shape
+        if min_lens is None:
+            min_lens = jnp.zeros((B,), jnp.int32)
+        fn = self._compiled(B, T_enc, int(max_len))
+        return fn(enc, enc_lens, ctc_logp, min_lens)
+
+    def decode_batch(self, batch, tokenizer):
+        """Full pipeline on one bucketed batch -> per-utt n-best dicts."""
+        import jax.numpy as jnp
+
+        graphdef, state = self.model_split
+        model = nnx.merge(graphdef, state)
+        audio = jnp.asarray(batch.audio)
+        audio_lens = jnp.asarray(batch.audio_lens)
+        enc, enc_lens = model.encode(audio, audio_lens, train=False)
+        ctc_logp = jax.nn.log_softmax(model.ctc_logits(enc), axis=-1)
+        T = enc.shape[1]
+        max_len = max(4, int(self.cfg.max_decode_ratio * T))
+        min_lens = (enc_lens * self.cfg.min_decode_ratio).astype(jnp.int32)
+        out = self.search_arrays(enc, enc_lens, ctc_logp, max_len, min_lens)
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        scores = np.asarray(out["scores"])
+        results = []
+        for b in range(tokens.shape[0]):
+            if batch.audio_lens[b] == 0:
+                results.append([])
+                continue
+            nbest = []
+            for k in range(min(self.cfg.nbest, tokens.shape[1])):
+                toks = tokens[b, k, : lengths[b, k]].tolist()
+                nbest.append({
+                    "text": tokenizer.decode(toks),
+                    "tokens": toks,
+                    "score": float(scores[b, k]),
+                })
+            results.append(nbest)
+        return results

@@ -1,0 +1,114 @@
+"""Fused Pallas TPU kernel for the log-mel front-end.
+
+Replaces torchaudio's C++ fbank kernels with a single on-chip kernel
+(BASELINE.json:5 "the feature front-end becomes a Pallas kernel"):
+
+    framing -> windowed real DFT -> power -> mel projection -> log
+
+TPU mapping:
+- Overlapping frames never materialize. A frame of `win` samples starting
+  every `hop` samples is decomposed into `n_sub = ceil(win/hop)` consecutive
+  hop-wide sub-blocks of the audio row viewed as (n_rows, hop). The windowed
+  DFT then becomes n_sub shifted matmuls against hop-row slices of the
+  (padded) DFT basis — pure MXU work, no gathers.
+- The DFT bases are zero-padded on both axes: rows win -> n_sub*hop (extra
+  taps multiply zero weight) and bins 257 -> 384 (lane-aligned; the extra
+  bins carry zero mel weight), so results are bit-identical to the unpadded
+  math while every matmul is (x, hop) @ (hop, 384) aligned.
+- Grid: (B, frame tiles). Each program computes T_TILE frames:
+  3 matmul groups + square-add + (T_TILE, 384) @ (384, n_mels) mel matmul
+  + log, all in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG_EPS = 1e-10
+T_TILE = 256
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(x_ref, cosp_ref, sinp_ref, mel_ref, out_ref, *, hop, n_sub, t_tile):
+    """One (batch row, frame tile) program."""
+    t0 = pl.program_id(1) * t_tile
+    n_rows = t_tile + n_sub
+    # hop-wide sub-block view of this tile's samples
+    rows = x_ref[0, pl.ds(t0 * hop, n_rows * hop)].reshape(n_rows, hop)
+    f_pad = cosp_ref.shape[1]
+    re = jnp.zeros((t_tile, f_pad), jnp.float32)
+    im = jnp.zeros((t_tile, f_pad), jnp.float32)
+    for j in range(n_sub):
+        a_j = rows[j : j + t_tile]                       # (t_tile, hop)
+        re += jnp.dot(a_j, cosp_ref[j], preferred_element_type=jnp.float32)
+        im += jnp.dot(a_j, sinp_ref[j], preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(mel + LOG_EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "n_frames"))
+def logmel_pallas(
+    x: jnp.ndarray,        # (B, Ts) preemphasized audio
+    cos_b: jnp.ndarray,    # (win, F) windowed DFT cos basis
+    sin_b: jnp.ndarray,    # (win, F)
+    mel_b: jnp.ndarray,    # (F, M)
+    hop: int,
+    n_frames: int,
+) -> jnp.ndarray:
+    """(B, Ts) -> (B, n_frames, M) log-mel, fused on-chip."""
+    B, Ts = x.shape
+    win, F = cos_b.shape
+    M = mel_b.shape[1]
+    n_sub = -(-win // hop)
+    win_pad = n_sub * hop
+    f_pad = _round_up(F, LANE)
+
+    t_tile = min(T_TILE, _round_up(n_frames, 8))
+    n_tiles = -(-n_frames // t_tile)
+    t_total = n_tiles * t_tile
+    # samples needed: (t_total + n_sub) * hop
+    need = (t_total + n_sub) * hop
+    if Ts < need:
+        x = jnp.pad(x, ((0, 0), (0, need - Ts)))
+
+    # pad bases: rows win -> win_pad (zeros), bins F -> f_pad (zeros);
+    # reshape to per-sub-block slices (n_sub, hop, f_pad)
+    def prep(b):
+        b = jnp.pad(b, ((0, win_pad - win), (0, f_pad - F)))
+        return b.reshape(n_sub, hop, f_pad)
+
+    cosp = prep(cos_b)
+    sinp = prep(sin_b)
+    melp = jnp.pad(mel_b, ((0, f_pad - F), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, hop=hop, n_sub=n_sub, t_tile=t_tile),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1]), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, M), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, t_total, M), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_total * (2 * win_pad + M) * f_pad,
+            bytes_accessed=B * x.shape[1] * 4 + B * t_total * M * 4,
+            transcendentals=B * t_total * M,
+        ),
+    )(x, cosp, sinp, melp)
+    return out[:, :n_frames]

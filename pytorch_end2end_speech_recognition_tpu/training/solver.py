@@ -212,6 +212,12 @@ class Solver:
                 stats.update(batch.texts[i].split(), text.split())
         return stats.rate
 
+    def merged_model(self) -> AsrModel:
+        """Write current trained params back into the live module (for beam
+        search / export); returns the module."""
+        nnx.update(self.model, self.params)
+        return self.model
+
     def decode_batch(self, batch: Batch) -> list[str]:
         arrays = self._put(batch)
         hyp, hyp_lens = self._eval_step(
