@@ -76,6 +76,7 @@ class BucketedLoader:
         self.train = train
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self._default_loader = audio_loader is None
         self._load = audio_loader or (lambda u: load_audio(u.audio, self.sr))
 
         kept = []
@@ -140,10 +141,28 @@ class BucketedLoader:
         tokens = np.zeros((B, U), np.int32)
         tlens = np.zeros((B,), np.int32)
         ids, texts = [], []
+        # fast path: multithreaded C++ decode straight into the padded
+        # buffer (native/asrnative.cpp); rows it can't handle (non-wav,
+        # resample needed, no toolchain) fall back to the Python loader
+        native_done = np.zeros((len(idxs),), bool)
+        if self._default_loader:
+            try:
+                from pytorch_end2end_speech_recognition_tpu.native import (
+                    load_batch_native,
+                )
+
+                paths = [self.utts[i].audio for i in idxs]
+                row_lens = alens[: len(idxs)]
+                load_batch_native(paths, audio[: len(idxs)], row_lens,
+                                  expect_sr=self.sr)
+                native_done = row_lens > 0
+            except Exception:
+                pass
         for row, i in enumerate(idxs):
-            x = self._load(self.utts[i])[:Ts]
-            audio[row, : len(x)] = x
-            alens[row] = len(x)
+            if not native_done[row]:
+                x = self._load(self.utts[i])[:Ts]
+                audio[row, : len(x)] = x
+                alens[row] = len(x)
             t = self.token_ids[i]
             tokens[row, : len(t)] = t
             tlens[row] = len(t)

@@ -72,8 +72,9 @@ class BiLstmLayer(nnx.Module):
         self.fwd = LstmParams(d_in, d_hid, rngs)
         self.bwd = LstmParams(d_in, d_hid, rngs)
 
-    def __call__(self, x, lens, dtype=jnp.float32):
-        return bilstm_layer(x, lens, self.fwd.tup(), self.bwd.tup(), dtype=dtype)
+    def __call__(self, x, lens, dtype=jnp.float32, impl="xla"):
+        return bilstm_layer(x, lens, self.fwd.tup(), self.bwd.tup(),
+                            dtype=dtype, impl=impl)
 
 
 class BiLstmEncoder(nnx.Module):
@@ -94,7 +95,7 @@ class BiLstmEncoder(nnx.Module):
         dt = _dt(self.cfg)
         x = jnp.where(length_mask(lens, x.shape[1])[..., None], x, 0.0)
         for i, layer in enumerate(self.layers):
-            x = layer(x, lens, dtype=dt)
+            x = layer(x, lens, dtype=dt, impl=self.cfg.lstm_impl)
             x = dropout(x, self.cfg.encoder_dropout, rng, train, salt=i)
         return x, lens
 
@@ -171,7 +172,7 @@ class PyramidalBiLstmEncoder(nnx.Module):
                     T -= 1
                 x = x.reshape(B, T // 2, 2 * D)
                 lens = lens // 2
-            x = layer(x, lens, dtype=dt)
+            x = layer(x, lens, dtype=dt, impl=self.cfg.lstm_impl)
             x = dropout(x, self.cfg.encoder_dropout, rng, train, salt=i)
         # zero out padding frames (bilstm already masks, but after reshape
         # concat a half-valid pair can leak) — keep exact

@@ -40,16 +40,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(x_ref, cosp_ref, sinp_ref, mel_ref, out_ref, *, hop, n_sub, t_tile):
-    """One (batch row, frame tile) program."""
-    t0 = pl.program_id(1) * t_tile
-    n_rows = t_tile + n_sub
-    # hop-wide sub-block view of this tile's samples
-    rows = x_ref[0, pl.ds(t0 * hop, n_rows * hop)].reshape(n_rows, hop)
-    f_pad = cosp_ref.shape[1]
+    """One (batch row, frame tile) program. x_ref holds the n_sub shifted
+    hop-block views (n_sub, 1, t_tile, hop) for this tile — pre-shifted in
+    XLA so every VMEM load is sublane-aligned."""
+    f_pad = cosp_ref.shape[2]
     re = jnp.zeros((t_tile, f_pad), jnp.float32)
     im = jnp.zeros((t_tile, f_pad), jnp.float32)
     for j in range(n_sub):
-        a_j = rows[j : j + t_tile]                       # (t_tile, hop)
+        a_j = x_ref[j, 0]                                # (t_tile, hop)
         re += jnp.dot(a_j, cosp_ref[j], preferred_element_type=jnp.float32)
         im += jnp.dot(a_j, sinp_ref[j], preferred_element_type=jnp.float32)
     power = re * re + im * im
@@ -78,9 +76,13 @@ def logmel_pallas(
     n_tiles = -(-n_frames // t_tile)
     t_total = n_tiles * t_tile
     # samples needed: (t_total + n_sub) * hop
-    need = (t_total + n_sub) * hop
+    n_rows = t_total + n_sub
+    need = n_rows * hop
     if Ts < need:
         x = jnp.pad(x, ((0, 0), (0, need - Ts)))
+    xr = x[:, :need].reshape(B, n_rows, hop)
+    # n_sub shifted views (n_sub, B, t_total, hop): frame t's j-th sub-block
+    xs = jnp.stack([xr[:, j : j + t_total] for j in range(n_sub)], axis=0)
 
     # pad bases: rows win -> win_pad (zeros), bins F -> f_pad (zeros);
     # reshape to per-sub-block slices (n_sub, hop, f_pad)
@@ -96,7 +98,7 @@ def logmel_pallas(
         functools.partial(_kernel, hop=hop, n_sub=n_sub, t_tile=t_tile),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, x.shape[1]), lambda b, t: (b, 0),
+            pl.BlockSpec((n_sub, 1, t_tile, hop), lambda b, t: (0, b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -107,8 +109,8 @@ def logmel_pallas(
         out_shape=jax.ShapeDtypeStruct((B, t_total, M), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * t_total * (2 * win_pad + M) * f_pad,
-            bytes_accessed=B * x.shape[1] * 4 + B * t_total * M * 4,
+            bytes_accessed=B * need * 4 + B * t_total * M * 4,
             transcendentals=B * t_total * M,
         ),
-    )(x, cosp, sinp, melp)
+    )(xs, cosp, sinp, melp)
     return out[:, :n_frames]

@@ -87,8 +87,17 @@ def bilstm_layer(
     params_fwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     params_bwd: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     dtype=jnp.float32,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Bidirectional layer: concat of forward and backward outputs (B,T,2H)."""
-    yf, _ = lstm_scan(x, lens, *params_fwd, reverse=False, dtype=dtype)
-    yb, _ = lstm_scan(x, lens, *params_bwd, reverse=True, dtype=dtype)
+    if impl == "pallas":
+        from pytorch_end2end_speech_recognition_tpu.ops.rnn_pallas import (
+            lstm_scan_pallas,
+        )
+
+        yf = lstm_scan_pallas(x, lens, *params_fwd, reverse=False, dtype=dtype)
+        yb = lstm_scan_pallas(x, lens, *params_bwd, reverse=True, dtype=dtype)
+    else:
+        yf, _ = lstm_scan(x, lens, *params_fwd, reverse=False, dtype=dtype)
+        yb, _ = lstm_scan(x, lens, *params_bwd, reverse=True, dtype=dtype)
     return jnp.concatenate([yf, yb], axis=-1)

@@ -64,6 +64,8 @@ class Solver:
         self.opt_state = self.tx.init(self.params)
         self.step = 0
         self.best_wer = float("inf")
+        self.lr_scale = 1.0          # host-driven plateau decay multiplier
+        self._evals_since_best = 0
         self.logger = MetricsLogger(cfg.train.metrics_path)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -76,6 +78,13 @@ class Solver:
             self.params, self.opt_state = shard_train_state(
                 mesh, self.params, self.opt_state
             )
+            from pytorch_end2end_speech_recognition_tpu.utils.debugging import (
+                check_collective_consistency,
+            )
+
+            check_collective_consistency(
+                {"params": self.params, "opt": self.opt_state}
+            )
 
     # ------------------------------------------------------------ jit builds
     def _build_train_step(self):
@@ -84,7 +93,7 @@ class Solver:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, rest, audio, audio_lens, tokens,
-                       token_lens, rng):
+                       token_lens, rng, lr_scale):
             def loss_fn(params):
                 model = nnx.merge(graphdef, params, rest)
                 k_spec, k_dec = jax.random.split(rng)
@@ -102,7 +111,7 @@ class Solver:
                 loss, metrics = hybrid_loss(
                     logits, enc_lens, att_logps, tokens, token_lens,
                     cfg.model.ctc_weight, cfg.model.label_smoothing,
-                    ctc_impl="xla",
+                    ctc_impl=cfg.model.ctc_impl,
                 )
                 _, _, new_rest = nnx.split(model, nnx.Param, ...)
                 return loss, (metrics, new_rest)
@@ -112,7 +121,7 @@ class Solver:
             )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
-                lambda p, u: p + u, params, updates
+                lambda p, u: p + lr_scale * u, params, updates
             )
             gnorm = jnp.sqrt(
                 sum(jnp.sum(g.value**2) if hasattr(g, "value") else jnp.sum(g**2)
@@ -173,7 +182,8 @@ class Solver:
             key, sub = jax.random.split(key)
             arrays = self._put(batch)
             self.params, self.opt_state, self.rest, metrics = self._train_step(
-                self.params, self.opt_state, self.rest, *arrays, sub
+                self.params, self.opt_state, self.rest, *arrays, sub,
+                jnp.asarray(self.lr_scale, jnp.float32),
             )
             audio_s += float(batch.audio_lens.sum()) / self.cfg.frontend.sample_rate
             self.step += 1
@@ -189,10 +199,19 @@ class Solver:
                 history["loss"].append(m["loss"])
             if dev_loader is not None and self.step % cfg.eval_every == 0:
                 wer = self.evaluate(dev_loader)
-                self.logger.log("dev", {"step": self.step, "wer": wer})
+                self.logger.log("dev", {"step": self.step, "wer": wer,
+                                        "lr_scale": self.lr_scale})
                 if wer < self.best_wer:
                     self.best_wer = wer
+                    self._evals_since_best = 0
                     self.save_checkpoint(tag="best")
+                else:
+                    self._evals_since_best += 1
+                    if (self.cfg.train.schedule == "plateau"
+                            and self._evals_since_best
+                            >= self.cfg.train.plateau_patience):
+                        self.lr_scale *= self.cfg.train.plateau_factor
+                        self._evals_since_best = 0
         return history
 
     # ------------------------------------------------------------ evaluation

@@ -80,6 +80,9 @@ class ModelConfig:
     # numerics
     dtype: str = "bfloat16"          # compute dtype for matmuls
     param_dtype: str = "float32"
+    # kernel implementations: 'xla' | 'pallas'
+    ctc_impl: str = "xla"
+    lstm_impl: str = "xla"
 
 
 @dataclass
@@ -111,6 +114,8 @@ class TrainConfig:
     lr: float = 1e-3
     schedule: str = "noam"           # 'noam' | 'plateau' | 'constant' | 'cosine'
     warmup_steps: int = 4000
+    plateau_patience: int = 3        # dev evals without improvement -> decay
+    plateau_factor: float = 0.5      # host-driven LR multiplier on plateau
     weight_decay: float = 1e-6
     grad_clip: float = 5.0
     scheduled_sampling: float = 0.0  # prob of feeding model prediction in decoder

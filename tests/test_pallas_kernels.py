@@ -1,0 +1,134 @@
+"""Pallas kernel oracle tests, run in interpreter mode on CPU
+(SURVEY.md §4 'Kernel oracles', §5.2 'Pallas interpreter mode as sanitizer').
+The same kernels compile natively on TPU (exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_end2end_speech_recognition_tpu.ops.ctc import ctc_loss_xla
+from pytorch_end2end_speech_recognition_tpu.ops.ctc_pallas import ctc_loss_pallas
+from pytorch_end2end_speech_recognition_tpu.ops.frontend import (
+    Frontend,
+    logmel_np,
+)
+from pytorch_end2end_speech_recognition_tpu.ops.frontend_pallas import (
+    logmel_pallas,
+)
+from pytorch_end2end_speech_recognition_tpu.utils.config import FrontendConfig
+
+
+def test_logmel_pallas_matches_oracle(rng):
+    cfg = FrontendConfig(cmvn="none", spec_augment=False)
+    fe = Frontend(cfg)
+    x = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    xp = np.concatenate([x[:, :1], x[:, 1:] - cfg.preemphasis * x[:, :-1]],
+                        axis=1)
+    T = fe.n_frames(16000)
+    with pltpu.force_tpu_interpret_mode():
+        out = logmel_pallas(jnp.asarray(xp), fe.cos_b, fe.sin_b, fe.mel_b,
+                            fe.hop, T)
+    assert out.shape == (2, T, cfg.n_mels)
+    for b in range(2):
+        ref = logmel_np(x[b], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out[b, : ref.shape[0]]), ref, rtol=1e-3, atol=1e-3
+        )
+
+
+def test_logmel_pallas_odd_sizes(rng):
+    """Non-multiple-of-tile frame counts and short audio."""
+    cfg = FrontendConfig(cmvn="none", spec_augment=False)
+    fe = Frontend(cfg)
+    x = rng.standard_normal((1, 7 * 160 + 400)).astype(np.float32)
+    T = fe.n_frames(x.shape[1])
+    assert T == 8
+    with pltpu.force_tpu_interpret_mode():
+        out = logmel_pallas(jnp.asarray(x), fe.cos_b, fe.sin_b, fe.mel_b,
+                            fe.hop, T)
+    assert out.shape == (1, 8, cfg.n_mels)
+    ref = logmel_np(x[0], cfg)  # no preemphasis applied here on purpose:
+    # oracle includes preemphasis; apply to match
+    xp = np.concatenate([x[:, :1], x[:, 1:] - cfg.preemphasis * x[:, :-1]],
+                        axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = logmel_pallas(jnp.asarray(xp), fe.cos_b, fe.sin_b, fe.mel_b,
+                            fe.hop, T)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=1e-3, atol=1e-3)
+
+
+def _ctc_case(rng, B=5, T=20, V=8, U=6):
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    logit_lens = jnp.asarray([T, T - 5, T, T - 2, 0][:B], dtype=jnp.int32)
+    labels = jnp.asarray(rng.integers(1, V, (B, U)).astype(np.int32))
+    label_lens = jnp.asarray([U, 4, 1, U, 3][:B], dtype=jnp.int32)
+    labels = labels * (jnp.arange(U)[None, :] < label_lens[:, None])
+    labels = labels.at[0].set(
+        jnp.asarray([2, 2, 3, 3, 2, 5][:U], dtype=jnp.int32))
+    return logits, logit_lens, labels, label_lens
+
+
+def test_ctc_pallas_matches_xla_values_and_grads(rng):
+    case = _ctc_case(rng)
+    with pltpu.force_tpu_interpret_mode():
+        ours = ctc_loss_pallas(*case)
+        ref = ctc_loss_xla(*case)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        logits, logit_lens, labels, label_lens = case
+        g1 = jax.grad(lambda x: ctc_loss_pallas(
+            x, logit_lens, labels, label_lens).sum())(logits)
+        g2 = jax.grad(lambda x: ctc_loss_xla(
+            x, logit_lens, labels, label_lens).sum())(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ctc_pallas_pad_rows(rng):
+    case = _ctc_case(rng)
+    logits, logit_lens, labels, label_lens = case
+    with pltpu.force_tpu_interpret_mode():
+        loss = ctc_loss_pallas(*case)
+        assert float(loss[4]) == 0.0
+        g = jax.grad(lambda x: ctc_loss_pallas(
+            x, logit_lens, labels, label_lens).sum())(logits)
+        assert np.abs(np.asarray(g[4])).max() == 0.0
+
+
+def test_lstm_pallas_matches_scan(rng):
+    from pytorch_end2end_speech_recognition_tpu.ops.rnn import lstm_scan
+    from pytorch_end2end_speech_recognition_tpu.ops.rnn_pallas import (
+        lstm_scan_pallas,
+    )
+
+    B, T, D, H = 4, 37, 12, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lens = jnp.asarray([37, 20, 5, 0], dtype=jnp.int32)
+    wih = jnp.asarray(rng.standard_normal((D, 4 * H)).astype(np.float32) * 0.2)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((4 * H,)).astype(np.float32) * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        for reverse in (False, True):
+            ref, _ = lstm_scan(x, lens, wih, whh, b, reverse=reverse)
+            ours = lstm_scan_pallas(x, lens, wih, whh, b, reverse=reverse)
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+        def loss_p(args):
+            wih, whh, b = args
+            y = lstm_scan_pallas(x, lens, wih, whh, b)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+        def loss_r(args):
+            wih, whh, b = args
+            y, _ = lstm_scan(x, lens, wih, whh, b)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+        g1 = jax.grad(loss_p)((wih, whh, b))
+        g2 = jax.grad(loss_r)((wih, whh, b))
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-5)

@@ -72,7 +72,8 @@ def test_first_step_deterministic(digits_corpus, tmp_path):
         arrays = solver._put(batch)
         key = jax.random.PRNGKey(0)
         _, _, _, metrics = solver._train_step(
-            solver.params, solver.opt_state, solver.rest, *arrays, key
+            solver.params, solver.opt_state, solver.rest, *arrays, key,
+            jax.numpy.asarray(1.0, jax.numpy.float32),
         )
         losses.append(float(metrics["loss"]))
     assert losses[0] == losses[1]
