@@ -1,0 +1,169 @@
+"""Extended benchmark suite (bench.py stays the driver's one-line headline).
+
+Covers the three BASELINE.json:2 metrics plus kernel microbenches:
+  - encode+CTC+greedy audio-s/s/chip (flagship Conformer)
+  - full train-step audio-s/s/chip (fwd+bwd+optimizer)
+  - joint CTC/attention beam-decode RTF (on-device beam)
+  - frontend / LSTM / CTC kernel timings (pallas vs xla)
+
+Writes one JSON line per metric; run on the TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def emit(name, value, unit, **extra):
+    print(json.dumps({"metric": name, "value": round(value, 3),
+                      "unit": unit, **extra}), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from __graft_entry__ import _flagship_cfg
+    from pytorch_end2end_speech_recognition_tpu.decode.beam import (
+        BeamSearchDecoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.models.asr import AsrModel
+    from pytorch_end2end_speech_recognition_tpu.ops.ctc import (
+        ctc_greedy_decode,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.losses import (
+        hybrid_loss,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.schedules import (
+        make_optimizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import DecodeConfig
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    print(f"[benchmarks] device={dev}", file=sys.stderr)
+    cfg = _flagship_cfg(small=not on_tpu)
+
+    rng = np.random.default_rng(0)
+    B, sec = 8, 30.0
+    sr = cfg.frontend.sample_rate
+    Ts = int(sec * sr)
+    audio = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, Ts)).astype(np.float32) * 0.1))
+    audio_lens = jnp.full((B,), Ts, jnp.int32)
+    U = 64
+    tokens = jnp.asarray(rng.integers(3, cfg.model.vocab_size, (B, U))
+                         .astype(np.int32))
+    token_lens = jnp.full((B,), U, jnp.int32)
+
+    model = AsrModel(cfg, nnx.Rngs(0))
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+    # ---- encode + ctc + greedy
+    @jax.jit
+    def fwd(params, audio, audio_lens):
+        m = nnx.merge(graphdef, params, rest)
+        enc, enc_lens = m.encode(audio, audio_lens, train=False)
+        logits = m.ctc_logits(enc)
+        return ctc_greedy_decode(logits, enc_lens)
+
+    dt = timeit(fwd, params, audio, audio_lens)
+    emit("encode_ctc_greedy_audio_s_per_s", B * sec / dt, "audio-s/s/chip")
+
+    # ---- full train step
+    tx = make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=())
+    def train_step(params, opt_state, rng_key):
+        def loss_fn(p):
+            m = nnx.merge(graphdef, p, rest)
+            enc, enc_lens = m.encode(audio, audio_lens, train=True,
+                                     rng=rng_key)
+            logits = m.ctc_logits(enc)
+            att = m.decoder(enc, enc_lens, tokens, token_lens, train=True)
+            loss, _ = hybrid_loss(logits, enc_lens, att, tokens, token_lens,
+                                  cfg.model.ctc_weight,
+                                  ctc_impl=cfg.model.ctc_impl)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda a, b: a + b, params,
+                                            updates)
+        return new_params, new_opt, loss
+
+    key = jax.random.PRNGKey(0)
+    dt = timeit(lambda: train_step(params, opt_state, key), n=10)
+    emit("train_step_audio_s_per_s", B * sec / dt, "audio-s/s/chip")
+
+    # ---- beam decode RTF
+    dcfg = DecodeConfig(beam_size=10, ctc_weight=0.3, pre_beam_k=30, nbest=1)
+    bsd = BeamSearchDecoder(model, dcfg)
+
+    @jax.jit
+    def encode_for_beam(params, audio, audio_lens):
+        m = nnx.merge(graphdef, params, rest)
+        enc, enc_lens = m.encode(audio, audio_lens, train=False)
+        return enc, enc_lens, jax.nn.log_softmax(m.ctc_logits(enc), axis=-1)
+
+    enc, enc_lens, ctc_logp = encode_for_beam(params, audio, audio_lens)
+    max_len = min(int(0.2 * enc.shape[1]), 150)
+
+    def beam_fn():
+        return bsd.search_arrays(enc, enc_lens, ctc_logp, max_len)
+
+    dt = timeit(beam_fn, n=5)
+    rtf = dt / (B * sec)
+    emit("beam_decode_rtf", rtf, "s-compute/s-audio",
+         beam=10, inv_rtf=round(1.0 / rtf, 1))
+
+    # ---- kernel microbenches (TPU only: pallas vs xla)
+    if on_tpu:
+        from pytorch_end2end_speech_recognition_tpu.ops.frontend import (
+            Frontend,
+        )
+        from pytorch_end2end_speech_recognition_tpu.utils.config import (
+            FrontendConfig,
+        )
+
+        for impl in ("jnp", "pallas"):
+            fe = Frontend(FrontendConfig(cmvn="utt", spec_augment=False,
+                                         impl=impl))
+            dt = timeit(lambda fe=fe: fe(audio, audio_lens), n=20)
+            emit(f"frontend_{impl}_audio_s_per_s", B * sec / dt, "audio-s/s")
+
+        from pytorch_end2end_speech_recognition_tpu.ops.ctc import ctc_loss
+        T, V = 752, 1024
+        logits = jax.device_put(jnp.asarray(
+            rng.standard_normal((8, T, V)).astype(np.float32)))
+        llens = jnp.full((8,), T, jnp.int32)
+        labels = jnp.asarray(rng.integers(3, V, (8, 128)).astype(np.int32))
+        lab_lens = jnp.full((8,), 128, jnp.int32)
+        for impl in ("xla", "pallas"):
+            g = jax.jit(jax.grad(lambda x: ctc_loss(
+                x, llens, labels, lab_lens, impl=impl).sum()))
+            dt = timeit(g, logits, n=10)
+            emit(f"ctc_{impl}_grad_ms", dt * 1000, "ms")
+
+
+if __name__ == "__main__":
+    main()

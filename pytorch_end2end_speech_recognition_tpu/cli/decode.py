@@ -21,7 +21,8 @@ def main(argv=None):
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint-tag", default="best")
     ap.add_argument("--manifest", required=True)
-    ap.add_argument("--mode", default=None, choices=[None, "greedy", "beam"])
+    ap.add_argument("--mode", default=None,
+                    choices=[None, "greedy", "beam", "attention"])
     ap.add_argument("--beam-size", type=int, default=None)
     ap.add_argument("--lm-weight", type=float, default=None)
     ap.add_argument("--lm-checkpoint", default=None)
@@ -38,7 +39,10 @@ def main(argv=None):
     from pytorch_end2end_speech_recognition_tpu.utils.config import parse_overrides
 
     cfg = parse_overrides(load_config(args.config), args.set)
-    if args.mode:
+    if args.mode == "attention":      # attention-only beam (no CTC scorer)
+        cfg.decode.mode = "beam"
+        cfg.decode.ctc_weight = 0.0
+    elif args.mode:
         cfg.decode.mode = args.mode
     if args.beam_size is not None:
         cfg.decode.beam_size = args.beam_size

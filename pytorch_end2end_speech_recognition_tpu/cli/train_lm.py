@@ -87,7 +87,8 @@ def train_lm(cfg, tok, texts, dev_texts, out_dir: str, steps: int,
                 break
     # dev perplexity
     tot, cnt = 0.0, 0
-    for toks, lens in batches(dev_lists, batch_size, 256,
+    eval_bs = max(1, min(batch_size, len(dev_lists)))
+    for toks, lens in batches(dev_lists, eval_bs, 256,
                               np.random.default_rng(0)):
         s, c = eval_fn(params, jnp.asarray(toks), jnp.asarray(lens))
         tot += float(s)

@@ -150,9 +150,12 @@ class AttentionDecoder(nnx.Module):
         train: bool = False,
         scheduled_sampling: float = 0.0,
         rng: jax.Array | None = None,
-    ) -> jnp.ndarray:
+        return_attn: bool = False,
+    ):
         """Teacher-forced forward: log-probs (B, U+1, V) for targets
-        [tokens, eos]. Decoder inputs are [sos, tokens]."""
+        [tokens, eos]. Decoder inputs are [sos, tokens]. With
+        `return_attn`, also returns attention maps (B, U+1, T) for the
+        genre's attention heatmap logging (SURVEY.md §5.5)."""
         B, T, _ = enc.shape
         U = tokens.shape[1]
         keys = self.att.precompute(enc)
@@ -173,13 +176,16 @@ class AttentionDecoder(nnx.Module):
             if use_ss:
                 coin = jax.random.uniform(ss_key, (B,)) < scheduled_sampling
                 tok_in = jnp.where(coin, prev_pred, tok_in)
-            logp, state, _ = self.step(tok_in, state, keys, enc, mask)
+            logp, state, attn = self.step(tok_in, state, keys, enc, mask)
             pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-            return (state, pred), logp
+            return (state, pred), (logp, attn)
 
-        (_, _), logps = jax.lax.scan(
+        (_, _), (logps, attns) = jax.lax.scan(
             scan_step,
             (state, jnp.zeros((B,), jnp.int32)),
             (inputs.swapaxes(0, 1), ss_keys),
         )
-        return logps.swapaxes(0, 1)  # (B, U+1, V)
+        logps = logps.swapaxes(0, 1)  # (B, U+1, V)
+        if return_attn:
+            return logps, attns.swapaxes(0, 1)  # (B, U+1, T)
+        return logps

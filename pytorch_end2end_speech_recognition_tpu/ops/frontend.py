@@ -111,6 +111,19 @@ class Frontend:
         self.mel_b = jnp.asarray(
             mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.fmin, cfg.fmax)
         )
+        self.global_mean = self.global_std = None
+        if cfg.cmvn == "global":
+            import json
+            from pathlib import Path
+
+            if not cfg.cmvn_stats_path or not Path(cfg.cmvn_stats_path).exists():
+                raise FileNotFoundError(
+                    "cmvn='global' needs cmvn_stats_path (see "
+                    "ops.frontend.compute_global_cmvn)"
+                )
+            d = json.loads(Path(cfg.cmvn_stats_path).read_text())
+            self.global_mean = jnp.asarray(d["mean"], jnp.float32)
+            self.global_std = jnp.asarray(d["std"], jnp.float32)
 
     def n_frames(self, n_samples: int) -> int:
         return max(0, (n_samples - self.win) // self.hop + 1)
@@ -165,7 +178,41 @@ class Frontend:
         feats = jnp.where(mask, feats, 0.0)
         if self.cfg.cmvn == "utt":
             feats = cmvn_utt(feats, flens)
+        elif self.cfg.cmvn == "global":
+            feats = (feats - self.global_mean) / self.global_std
+            feats = jnp.where(mask, feats, 0.0)
         return feats, flens
+
+
+def compute_global_cmvn(
+    manifest_path: str, cfg: FrontendConfig, out_path: str,
+    max_utts: int = 2000,
+) -> dict:
+    """Accumulate dataset log-mel mean/std (genre's global CMVN stats) and
+    write them as JSON for `cmvn='global'`."""
+    import json
+
+    from pytorch_end2end_speech_recognition_tpu.data.audio import load_audio
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+
+    s0, s1, s2 = 0, None, None
+    for u in read_manifest(manifest_path)[:max_utts]:
+        f = logmel_np(load_audio(u.audio, cfg.sample_rate), cfg)
+        if s1 is None:
+            s1 = f.sum(axis=0)
+            s2 = (f ** 2).sum(axis=0)
+        else:
+            s1 += f.sum(axis=0)
+            s2 += (f ** 2).sum(axis=0)
+        s0 += f.shape[0]
+    mean = s1 / max(s0, 1)
+    std = np.sqrt(np.maximum(s2 / max(s0, 1) - mean ** 2, 1e-8))
+    stats = {"mean": mean.tolist(), "std": std.tolist(), "frames": int(s0)}
+    with open(out_path, "w") as f:
+        json.dump(stats, f)
+    return stats
 
 
 def cmvn_utt(feats: jnp.ndarray, frame_lens: jnp.ndarray) -> jnp.ndarray:

@@ -58,6 +58,31 @@ def load_checkpoint(ckpt_dir: str, tag: str, params_like, opt_state_like) -> dic
     }
 
 
+def save_step_checkpoint(
+    ckpt_dir: str, step: int, params, opt_state, best_wer: float,
+    cfg: AsrConfig | None = None, max_to_keep: int = 3,
+) -> None:
+    """Step-tagged checkpoint with retention of the newest `max_to_keep`
+    (genre parity: periodic snapshots; best/last tags are kept separately)."""
+    import shutil
+
+    save_checkpoint(ckpt_dir, f"step_{step:08d}", params, opt_state, step,
+                    best_wer, cfg)
+    steps = sorted(
+        p for p in Path(ckpt_dir).glob("step_*") if p.is_dir()
+    )
+    for old in steps[:-max_to_keep]:
+        shutil.rmtree(old, ignore_errors=True)
+        extra = old.parent / f"{old.name}.config.json"
+        if extra.exists():
+            extra.unlink()
+
+
+def latest_step_checkpoint(ckpt_dir: str) -> str | None:
+    steps = sorted(p for p in Path(ckpt_dir).glob("step_*") if p.is_dir())
+    return steps[-1].name if steps else None
+
+
 def load_config(ckpt_dir: str, tag: str) -> AsrConfig | None:
     p = Path(ckpt_dir) / f"{tag}.config.json"
     if p.exists():

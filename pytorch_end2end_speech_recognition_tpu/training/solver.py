@@ -66,7 +66,8 @@ class Solver:
         self.best_wer = float("inf")
         self.lr_scale = 1.0          # host-driven plateau decay multiplier
         self._evals_since_best = 0
-        self.logger = MetricsLogger(cfg.train.metrics_path)
+        self.logger = MetricsLogger(cfg.train.metrics_path,
+                                    tensorboard_dir=cfg.train.tensorboard_dir)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
@@ -201,6 +202,8 @@ class Solver:
                 wer = self.evaluate(dev_loader)
                 self.logger.log("dev", {"step": self.step, "wer": wer,
                                         "lr_scale": self.lr_scale})
+                self.save_step_checkpoint()
+                self._log_attention(batch)
                 if wer < self.best_wer:
                     self.best_wer = wer
                     self._evals_since_best = 0
@@ -231,6 +234,22 @@ class Solver:
                 stats.update(batch.texts[i].split(), text.split())
         return stats.rate
 
+    def _log_attention(self, batch: Batch) -> None:
+        """Dump one utterance's decoder attention heatmap to tensorboard
+        (no-op without a decoder or tensorboard_dir)."""
+        if self.model.decoder is None or self.logger._tb is None:
+            return
+        model = self.merged_model()
+        arrays = self._put(batch)
+        enc, enc_lens = model.encode(arrays[0], arrays[1], train=False)
+        _, attn = model.decoder(enc, enc_lens, arrays[2], arrays[3],
+                                return_attn=True)
+        u = int(np.argmax(np.asarray(batch.token_lens)))
+        U = int(batch.token_lens[u]) + 1
+        T = int(enc_lens[u])
+        self.logger.log_image("dev/attention", np.asarray(attn[u, :U, :T]),
+                              self.step)
+
     def merged_model(self) -> AsrModel:
         """Write current trained params back into the live module (for beam
         search / export); returns the module."""
@@ -258,6 +277,18 @@ class Solver:
             self.cfg.train.checkpoint_dir, tag,
             params=self.params, opt_state=self.opt_state,
             step=self.step, best_wer=self.best_wer, cfg=self.cfg,
+        )
+
+    def save_step_checkpoint(self):
+        from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
+            save_step_checkpoint,
+        )
+
+        save_step_checkpoint(
+            self.cfg.train.checkpoint_dir, self.step,
+            params=self.params, opt_state=self.opt_state,
+            best_wer=self.best_wer, cfg=self.cfg,
+            max_to_keep=self.cfg.train.keep_checkpoints,
         )
 
     def load_checkpoint(self, tag: str = "last"):

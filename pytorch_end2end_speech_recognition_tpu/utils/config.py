@@ -27,6 +27,7 @@ class FrontendConfig:
     preemphasis: float = 0.97
     # normalization: 'utt' per-utterance CMVN, 'global' dataset stats, 'none'
     cmvn: str = "utt"
+    cmvn_stats_path: str = ""        # JSON {mean: [n_mels], std: [n_mels]}
     # SpecAugment (train only)
     spec_augment: bool = True
     freq_mask_param: int = 27
@@ -122,6 +123,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50
     metrics_path: str = "metrics.jsonl"
+    tensorboard_dir: str = ""        # optional tensorboard event dir
     # parallelism (SURVEY.md §2c): mesh axes sizes; products must divide devices
     dp: int = 1                      # data-parallel axis size ('data')
     tp: int = 1                      # tensor-parallel axis size ('model')
