@@ -30,10 +30,11 @@ class CtcHead(nnx.Module):
 
 
 class AsrModel(nnx.Module):
-    def __init__(self, cfg: AsrConfig, rngs: nnx.Rngs):
+    def __init__(self, cfg: AsrConfig, rngs: nnx.Rngs, mesh=None):
         self.cfg = cfg
         self.frontend = Frontend(cfg.frontend)
-        self.encoder = build_encoder(cfg.frontend.n_mels, cfg.model, rngs)
+        self.encoder = build_encoder(cfg.frontend.n_mels, cfg.model, rngs,
+                                     mesh=mesh)
         self.ctc_head = CtcHead(self.encoder.d_out, cfg.model.vocab_size, rngs)
         self.decoder = (
             AttentionDecoder(self.encoder.d_out, cfg.model, rngs)

@@ -254,9 +254,13 @@ class RelPosBias(nnx.Module):
 
 
 class MhsaBlock(nnx.Module):
-    """Pre-LN multi-head self-attention with padding mask + optional rel bias."""
+    """Pre-LN multi-head self-attention with padding mask + optional rel
+    bias. With `cp_mode` and a mesh, the attention itself runs
+    context-parallel: time axis sharded over the 'model' mesh axis via ring
+    or Ulysses collectives (parallel/cp.py)."""
 
-    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool,
+                 mesh=None):
         D, H = cfg.encoder_dim, cfg.encoder_heads
         dt = _dt(cfg)
         self.ln = nnx.LayerNorm(D, rngs=rngs)
@@ -267,6 +271,12 @@ class MhsaBlock(nnx.Module):
         self.heads = H
         self.rel = RelPosBias(H, rngs) if relative else None
         self.rate = cfg.encoder_dropout
+        self.cp_mode = cfg.cp_mode
+        self.mesh = mesh
+        if self.cp_mode and relative:
+            raise ValueError(
+                "cp_mode requires pos_encoding='absolute' (relative bias is "
+                "not sliced across time shards)")
 
     def __call__(self, x, mask, train: bool = False, rng=None):
         B, T, D = x.shape
@@ -274,17 +284,33 @@ class MhsaBlock(nnx.Module):
         q = self.q(h).reshape(B, T, self.heads, -1)
         k = self.k(h).reshape(B, T, self.heads, -1)
         v = self.v(h).reshape(B, T, self.heads, -1)
-        bias = None
-        if self.rel is not None:
-            bias = self.rel(T).astype(q.dtype)
-        safe_mask = mask | (jnp.arange(T)[None, :] == 0)        # avoid all-masked
-        attn_mask = safe_mask[:, None, None, :]                 # (B,1,1,T)
-        y = jax.nn.dot_product_attention(
-            q, k, v, bias=bias, mask=attn_mask
-        )
-        y = self.o(y.reshape(B, T, D)).astype(jnp.float32)
+        if self.cp_mode and self.mesh is not None:
+            from pytorch_end2end_speech_recognition_tpu.parallel.cp import (
+                sharded_self_attention,
+            )
+
+            lens = mask.sum(axis=1)
+            y = sharded_self_attention(
+                self.mesh, q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), lens, mode=self.cp_mode,
+            )
+        else:
+            bias = None
+            if self.rel is not None:
+                bias = self.rel(T).astype(q.dtype)
+            safe_mask = mask | (jnp.arange(T)[None, :] == 0)    # avoid all-masked
+            attn_mask = safe_mask[:, None, None, :]             # (B,1,1,T)
+            y = jax.nn.dot_product_attention(
+                q, k, v, bias=bias, mask=attn_mask
+            )
+        y = self.o(y.reshape(B, T, D).astype(_dt_of(self.q))).astype(
+            jnp.float32)
         y = dropout(y, self.rate, rng, train)
         return x + y
+
+
+def _dt_of(linear: nnx.Linear):
+    return linear.kernel.value.dtype
 
 
 class FfnBlock(nnx.Module):
@@ -304,8 +330,9 @@ class FfnBlock(nnx.Module):
 
 
 class TransformerBlock(nnx.Module):
-    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool):
-        self.mhsa = MhsaBlock(cfg, rngs, relative=relative)
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool,
+                 mesh=None):
+        self.mhsa = MhsaBlock(cfg, rngs, relative=relative, mesh=mesh)
         self.ffn = FfnBlock(cfg, rngs)
 
     def __call__(self, x, mask, train: bool = False, rng=None):
@@ -318,13 +345,14 @@ class TransformerBlock(nnx.Module):
 class TransformerEncoder(nnx.Module):
     """Conv-subsampled Transformer encoder (config 3, BASELINE.json:9)."""
 
-    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs,
+                 mesh=None):
         self.cfg = cfg
         D = cfg.encoder_dim
         self.sub = ConvSubsample(d_in, D, cfg, rngs)
         self.relative = cfg.pos_encoding == "relative"
         self.blocks = nnx.List(
-            [TransformerBlock(cfg, rngs, self.relative)
+            [TransformerBlock(cfg, rngs, self.relative, mesh=mesh)
              for _ in range(cfg.encoder_layers)]
         )
         self.ln_out = nnx.LayerNorm(D, rngs=rngs)
@@ -377,9 +405,11 @@ class ConvModule(nnx.Module):
 
 
 class ConformerBlock(nnx.Module):
-    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, mesh=None):
         self.ff1 = FfnBlock(cfg, rngs, scale=0.5)
-        self.mhsa = MhsaBlock(cfg, rngs, relative=cfg.pos_encoding == "relative")
+        self.mhsa = MhsaBlock(cfg, rngs,
+                              relative=cfg.pos_encoding == "relative",
+                              mesh=mesh)
         self.conv = ConvModule(cfg, rngs)
         self.ff2 = FfnBlock(cfg, rngs, scale=0.5)
         self.ln = nnx.LayerNorm(cfg.encoder_dim, rngs=rngs)
@@ -398,12 +428,14 @@ class ConformerBlock(nnx.Module):
 class ConformerEncoder(nnx.Module):
     """Conformer encoder (config 4, BASELINE.json:10)."""
 
-    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+    def __init__(self, d_in: int, cfg: ModelConfig, rngs: nnx.Rngs,
+                 mesh=None):
         self.cfg = cfg
         D = cfg.encoder_dim
         self.sub = ConvSubsample(d_in, D, cfg, rngs)
         self.blocks = nnx.List(
-            [ConformerBlock(cfg, rngs) for _ in range(cfg.encoder_layers)]
+            [ConformerBlock(cfg, rngs, mesh=mesh)
+             for _ in range(cfg.encoder_layers)]
         )
         self.rate = cfg.encoder_dropout
         self.d_out = D
@@ -421,14 +453,14 @@ class ConformerEncoder(nnx.Module):
         return x, lens
 
 
-def build_encoder(d_in: int, cfg: ModelConfig, rngs: nnx.Rngs):
+def build_encoder(d_in: int, cfg: ModelConfig, rngs: nnx.Rngs, mesh=None):
     kind = cfg.encoder
     if kind == "blstm":
         return BiLstmEncoder(d_in, cfg, rngs)
     if kind == "pblstm":
         return PyramidalBiLstmEncoder(d_in, cfg, rngs)
     if kind == "transformer":
-        return TransformerEncoder(d_in, cfg, rngs)
+        return TransformerEncoder(d_in, cfg, rngs, mesh=mesh)
     if kind == "conformer":
-        return ConformerEncoder(d_in, cfg, rngs)
+        return ConformerEncoder(d_in, cfg, rngs, mesh=mesh)
     raise ValueError(f"unknown encoder kind {kind}")

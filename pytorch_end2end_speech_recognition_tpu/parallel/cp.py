@@ -115,7 +115,12 @@ def sharded_self_attention(
     """
     from jax import shard_map
 
-    T = q.shape[1]
+    n = mesh.shape[axis]
+    T0 = q.shape[1]
+    T = -(-T0 // n) * n
+    if T != T0:  # pad time to the axis size; pad keys are masked invalid
+        pad = ((0, 0), (0, T - T0), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     mask = jnp.arange(T)[None, :] < lens[:, None]
     fn = ring_attention if mode == "ring" else ulysses_attention
 
@@ -129,4 +134,5 @@ def sharded_self_attention(
         return fn(q, k, v, mask, axis)
 
     out = run(q, k, v, mask)
-    return jnp.where(mask[:, :, None, None], out, 0.0)
+    out = jnp.where(mask[:, :, None, None], out, 0.0)
+    return out[:, :T0]

@@ -56,7 +56,8 @@ class Solver:
         cfg.model.vocab_size = tokenizer.vocab_size
         self.mesh = mesh
         self.rngs_seed = cfg.train.seed
-        self.model = model or AsrModel(cfg, nnx.Rngs(cfg.train.seed))
+        self.model = model or AsrModel(cfg, nnx.Rngs(cfg.train.seed),
+                                       mesh=mesh)
         self.graphdef, self.params, self.rest = nnx.split(
             self.model, nnx.Param, ...
         )

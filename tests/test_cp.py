@@ -58,3 +58,49 @@ def test_cp_grads_match(mode, qkv):
     g_cp = jax.jit(jax.grad(loss_cp))(q)
     np.testing.assert_allclose(np.asarray(g_cp), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_encoder_with_cp_matches_plain(rng):
+    """Transformer encoder with cp_mode='ring' over an 8-way mesh must equal
+    the plain encoder with identical params."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+        build_encoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import ModelConfig
+
+    def cfg(cp):
+        return ModelConfig(
+            encoder="transformer", encoder_layers=2, encoder_dim=32,
+            encoder_ffn_dim=64, encoder_heads=8, dtype="float32",
+            pos_encoding="absolute", cp_mode=cp,
+        )
+
+    mesh = make_mesh(dp=1, tp=8)
+    x = jnp.asarray(rng.standard_normal((2, 130, 80)).astype(np.float32))
+    lens = jnp.asarray([130, 77])
+    plain = build_encoder(80, cfg(""), nnx.Rngs(0))
+    y_ref, l_ref = plain(x, lens)
+    for mode in ("ring", "ulysses"):
+        enc = build_encoder(80, cfg(mode), nnx.Rngs(0), mesh=mesh)
+        y, l = enc(x, lens)
+        assert (np.asarray(l) == np.asarray(l_ref)).all()
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_cp_with_relative_pe_rejected():
+    from flax import nnx
+
+    from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+        build_encoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(encoder="transformer", encoder_layers=1,
+                      encoder_dim=32, encoder_ffn_dim=64, encoder_heads=8,
+                      pos_encoding="relative", cp_mode="ring")
+    with pytest.raises(ValueError, match="cp_mode requires"):
+        build_encoder(80, cfg, nnx.Rngs(0), mesh=make_mesh(dp=1, tp=8))
