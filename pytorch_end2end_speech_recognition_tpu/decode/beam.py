@@ -17,7 +17,8 @@ the pain point BASELINE.json:5 mandates away. TPU-native design:
   live hyps / keep for finished ones).
 
 Score(h) = ctc_w * psi_ctc(h) + (1-ctc_w) * logP_att(h) + lm_w * logP_lm(h)
-           + length_penalty * |h|        (identical to decode/oracle.py)
+           + length_penalty * |h| + coverage_penalty * sum(min(cum_attn, tau))
+(identical to decode/oracle.py)
 """
 
 from __future__ import annotations
@@ -106,6 +107,8 @@ class BeamSearchDecoder:
                     jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
                 ) * jnp.ones((B, 1)),
                 "finished": jnp.zeros((B, K), bool),
+                "coverage": jnp.zeros((B, K)),
+                "cum_attn": jnp.zeros((B, K, T_enc)),
                 "r_state": r_state,
                 "dec_state": dec_state,
                 "lm_state": lm_state,
@@ -160,17 +163,24 @@ class BeamSearchDecoder:
 
             ctc_w, lm_w = cfg.ctc_weight, cfg.lm_weight
             lp_pen = cfg.length_penalty
+            cov_pen, cov_tau = cfg.coverage_penalty, cfg.coverage_tau
 
             def cond(s):
                 return (s["step"] < max_len) & ~jnp.all(s["finished"])
 
             def body(s):
                 step = s["step"]
-                att_logp_flat, new_dec_state, _ = model.decoder.step(
+                att_logp_flat, new_dec_state, attn_flat = model.decoder.step(
                     s["last"].reshape(B * K), s["dec_state"], keys_t, enc_t,
                     mask_t,
                 )
                 att_logp = att_logp_flat.reshape(B, K, V)
+                if cov_pen != 0.0:
+                    new_cum = s["cum_attn"] + attn_flat.reshape(B, K, T_enc)
+                    new_cov = jnp.sum(jnp.minimum(new_cum, cov_tau), axis=-1)
+                else:
+                    new_cum = s["cum_attn"]
+                    new_cov = s["coverage"]
                 if lm is not None:
                     lm_logp_flat, new_lm_state = lm.step(
                         s["last"].reshape(B * K), s["lm_state"]
@@ -204,6 +214,7 @@ class BeamSearchDecoder:
                     + ctc_w * psi
                     + lm_w * new_lm_cum
                     + lp_pen * (s["lengths"] + 1)[:, :, None]
+                    + cov_pen * new_cov[:, :, None]
                 )
                 # dead/finished beams don't extend
                 live = ~s["finished"] & (s["total"] > NEG_INF / 2)
@@ -219,6 +230,7 @@ class BeamSearchDecoder:
                 eos_total = (
                     (1.0 - ctc_w) * eos_att + ctc_w * ctc_eos
                     + lm_w * eos_lm + lp_pen * s["lengths"]
+                    + cov_pen * new_cov
                 )
                 eos_ok = step >= min_lens[:, None]
                 eos_total = jnp.where(live & eos_ok, eos_total, NEG_INF)
@@ -286,6 +298,10 @@ class BeamSearchDecoder:
                     "lm_cum": jnp.where(is_ext, lm_sel, g2(s["lm_cum"])),
                     "total": top_scores,
                     "finished": jnp.where(is_ext, False, True) | was_finished,
+                    "coverage": jnp.where(is_ext, g2(new_cov),
+                                          g2(s["coverage"])),
+                    "cum_attn": jnp.where(is_ext[:, :, None], g2(new_cum),
+                                          g2(s["cum_attn"])),
                     "r_state": jnp.where(
                         is_ext[:, :, None, None], r_sel, g2(s["r_state"])
                     ),

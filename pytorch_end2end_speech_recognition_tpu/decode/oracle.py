@@ -86,15 +86,18 @@ class Hyp:
     att_score: float = 0.0
     ctc_score: float = 0.0
     lm_score: float = 0.0
+    coverage: float = 0.0            # sum(min(cum_attn, tau))
+    cum_attn: object = None
     ctc_state: object = None
     dec_state: object = None
     lm_state: object = None
     finished: bool = False
 
-    def total(self, ctc_w, lm_w, len_penalty):
+    def total(self, ctc_w, lm_w, len_penalty, cov_penalty=0.0):
         s = (1 - ctc_w) * self.att_score + ctc_w * self.ctc_score
         s += lm_w * self.lm_score
         s += len_penalty * len(self.tokens)
+        s += cov_penalty * self.coverage
         return s
 
 
@@ -108,6 +111,8 @@ def beam_search_oracle(
     lm_step=None,        # fn(token:int, lm_state) -> (logp (V,), new_state)
     lm_weight: float = 0.0,
     length_penalty: float = 0.0,
+    coverage_penalty: float = 0.0,
+    coverage_tau: float = 0.5,
     max_len: int = 40,
     min_len: int = 0,
     pre_beam_k: int | None = None,
@@ -130,7 +135,18 @@ def beam_search_oracle(
                 cands.append(hyp)
                 continue
             last = hyp.tokens[-1] if hyp.tokens else SOS_EOS_ID
-            att_logp, dec_state = att_step(last, hyp.dec_state)
+            stepped = att_step(last, hyp.dec_state)
+            if len(stepped) == 3:
+                att_logp, dec_state, attn = stepped
+            else:
+                att_logp, dec_state = stepped
+                attn = None
+            cum_attn = hyp.cum_attn
+            coverage = hyp.coverage
+            if attn is not None and coverage_penalty != 0.0:
+                cum_attn = (np.asarray(attn) if cum_attn is None
+                            else cum_attn + np.asarray(attn))
+                coverage = float(np.minimum(cum_attn, coverage_tau).sum())
             if lm_step is not None:
                 lm_logp, lm_state = lm_step(last, hyp.lm_state)
             else:
@@ -153,6 +169,8 @@ def beam_search_oracle(
                     att_score=hyp.att_score + float(att_logp[c]),
                     ctc_score=float(psi),
                     lm_score=hyp.lm_score + float(lm_logp[c]),
+                    coverage=coverage,
+                    cum_attn=cum_attn,
                     ctc_state=cstate,
                     dec_state=dec_state,
                     lm_state=lm_state,
@@ -167,16 +185,20 @@ def beam_search_oracle(
                     att_score=hyp.att_score + float(att_logp[SOS_EOS_ID]),
                     ctc_score=ctc_s,
                     lm_score=hyp.lm_score + float(lm_logp[SOS_EOS_ID]),
+                    coverage=coverage,
                     finished=True,
                 ))
         cands.sort(
-            key=lambda h: -h.total(ctc_weight, lm_weight, length_penalty)
+            key=lambda h: -h.total(ctc_weight, lm_weight, length_penalty,
+                                   coverage_penalty)
         )
         beams = cands[:beam_size]
         if all(h.finished for h in beams):
             break
-    beams.sort(key=lambda h: -h.total(ctc_weight, lm_weight, length_penalty))
+    beams.sort(key=lambda h: -h.total(ctc_weight, lm_weight, length_penalty,
+                                      coverage_penalty))
     return [
-        (h.tokens, h.total(ctc_weight, lm_weight, length_penalty))
+        (h.tokens, h.total(ctc_weight, lm_weight, length_penalty,
+                           coverage_penalty))
         for h in beams[:nbest]
     ]

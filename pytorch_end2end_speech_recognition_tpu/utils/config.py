@@ -141,6 +141,8 @@ class DecodeConfig:
     ctc_weight: float = 0.3          # decode-time joint weight
     lm_weight: float = 0.0           # RNN-LM shallow fusion gamma
     length_penalty: float = 0.0
+    coverage_penalty: float = 0.0    # eta * sum(min(cum_attn, tau))
+    coverage_tau: float = 0.5
     max_decode_ratio: float = 0.5    # max output len = ratio * encoder frames
     min_decode_ratio: float = 0.0
     nbest: int = 1

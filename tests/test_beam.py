@@ -58,10 +58,10 @@ def _oracle_steps(model, enc_b, enc_len, lm=None):
     def att_step(token, state):
         if state == "INIT":
             state = model.decoder.init_state(1, T)
-        logp, new_state, _ = model.decoder.step(
+        logp, new_state, attn = model.decoder.step(
             jnp.asarray([token], dtype=jnp.int32), state, keys, enc1, mask
         )
-        return np.asarray(logp[0]), new_state
+        return np.asarray(logp[0]), new_state, np.asarray(attn[0])
 
     if lm is None:
         return att_step, None
@@ -82,8 +82,9 @@ def _device_nbest(out, b, n):
     return [(toks[k, : lens[k]].tolist(), float(scores[k])) for k in range(n)]
 
 
-@pytest.mark.parametrize("ctc_w,lm_w", [(0.3, 0.0), (0.0, 0.0), (0.5, 0.2)])
-def test_beam_matches_oracle(ctc_w, lm_w, rng):
+@pytest.mark.parametrize("ctc_w,lm_w,cov", [
+    (0.3, 0.0, 0.0), (0.0, 0.0, 0.0), (0.5, 0.2, 0.0), (0.3, 0.0, 0.4)])
+def test_beam_matches_oracle(ctc_w, lm_w, cov, rng):
     model, cfg = _tiny_model()
     lm = None
     if lm_w > 0:
@@ -92,7 +93,7 @@ def test_beam_matches_oracle(ctc_w, lm_w, rng):
         cfg.model.lm_embed_dim = 8
         lm = RnnLm(cfg.model, nnx.Rngs(1))
     dcfg = DecodeConfig(beam_size=3, ctc_weight=ctc_w, lm_weight=lm_w,
-                        pre_beam_k=6, nbest=3)
+                        pre_beam_k=6, nbest=3, coverage_penalty=cov)
     enc, enc_lens, ctc_logp = _enc_and_logp(model, rng)
     bsd = BeamSearchDecoder(model, dcfg, lm=lm)
     max_len = 6
@@ -108,7 +109,7 @@ def test_beam_matches_oracle(ctc_w, lm_w, rng):
             att_step, np.asarray(ctc_logp[b]), T_b,
             vocab_size=cfg.model.vocab_size,
             beam_size=3, ctc_weight=ctc_w, lm_step=lm_step, lm_weight=lm_w,
-            max_len=max_len, pre_beam_k=6, nbest=3,
+            coverage_penalty=cov, max_len=max_len, pre_beam_k=6, nbest=3,
         )
         got = _device_nbest(out, b, len(ref))
         for (rt, rs), (gt, gs) in zip(ref, got):
