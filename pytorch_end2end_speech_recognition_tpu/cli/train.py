@@ -71,7 +71,18 @@ def main(argv=None):
         )
     solver = Solver(cfg, tok, mesh=mesh)
     if args.resume:
-        solver.load_checkpoint("last")
+        from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
+            latest_step_checkpoint,
+        )
+
+        tag = "last"
+        if not Path(cfg.train.checkpoint_dir, "last").exists():
+            tag = latest_step_checkpoint(cfg.train.checkpoint_dir)
+        if tag:
+            print(f"resuming from {tag}", file=sys.stderr)
+            solver.load_checkpoint(tag)
+        else:
+            print("no checkpoint found; starting fresh", file=sys.stderr)
     try:
         solver.fit(loader, dev_loader, steps=args.steps)
     finally:
