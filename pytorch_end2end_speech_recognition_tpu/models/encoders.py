@@ -369,7 +369,12 @@ class TransformerEncoder(nnx.Module):
         mask = length_mask(lens, T)
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
-            x = blk(x, mask, train, k)
+            if self.cfg.remat and train:
+                x = jax.checkpoint(
+                    lambda x, m, kk, blk=blk: blk(x, m, True, kk)
+                )(x, mask, k)
+            else:
+                x = blk(x, mask, train, k)
         x = self.ln_out(x)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
@@ -448,7 +453,12 @@ class ConformerEncoder(nnx.Module):
         mask = length_mask(lens, T)
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
-            x = blk(x, mask, train, k)
+            if self.cfg.remat and train:
+                x = jax.checkpoint(
+                    lambda x, m, kk, blk=blk: blk(x, m, True, kk)
+                )(x, mask, k)
+            else:
+                x = blk(x, mask, train, k)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
 

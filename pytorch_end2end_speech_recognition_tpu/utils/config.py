@@ -84,6 +84,7 @@ class ModelConfig:
     # kernel implementations: 'xla' | 'pallas'
     ctc_impl: str = "xla"
     lstm_impl: str = "xla"
+    remat: bool = False              # jax.checkpoint encoder blocks (memory)
     # context parallelism for encoder self-attention over the 'model' axis:
     # '' (off) | 'ring' | 'ulysses'; requires pos_encoding='absolute'
     # (relative bias is not sliced across time shards)
