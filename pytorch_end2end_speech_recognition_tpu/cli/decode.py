@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--nbest-out", default=None, help="write N-best JSONL here")
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
     args = ap.parse_args(argv)
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        maybe_force_cpu,
+    )
+
+    maybe_force_cpu()
 
     from pytorch_end2end_speech_recognition_tpu.cli.train import load_config
     from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader

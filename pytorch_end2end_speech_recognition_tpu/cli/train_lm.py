@@ -130,6 +130,11 @@ def main(argv=None):
                     help="optional text file with one sentence per line")
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
     args = ap.parse_args(argv)
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        maybe_force_cpu,
+    )
+
+    maybe_force_cpu()
 
     from pytorch_end2end_speech_recognition_tpu.cli.train import load_config
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
