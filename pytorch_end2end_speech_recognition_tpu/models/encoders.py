@@ -248,9 +248,20 @@ class RelPosBias(nnx.Module):
         return sign + jnp.where(exact, arel, big)
 
     def __call__(self, T: int) -> jnp.ndarray:
-        rel = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]   # (T, T)
-        idx = self._bucket(rel)                                  # (T, T)
-        return self.table.value[:, idx][None]                    # (1, H, T, T)
+        """(1, H, T, T) bias built WITHOUT a (T,T) gather: bucket the 2T-1
+        diagonals (small gather), then expand by a pad+reshape shift —
+        the (T,T)-gather version made the backward a 562k-element
+        scatter-add into the 64-bucket table and tripled the train step."""
+        H = self.table.value.shape[0]
+        rel = jnp.arange(-(T - 1), T)[None, :]                   # (1, 2T-1)
+        idx = self._bucket(rel)[0]                               # (2T-1,)
+        diag = self.table.value[:, idx]                          # (H, 2T-1)
+        # M[i, j] = diag[:, (T-1) + (j - i)] — a sliding window per row:
+        # M[i] = diag[T-1-i : 2T-1-i]
+        wp = jnp.pad(diag, ((0, 0), (0, 1)))                     # (H, 2T)
+        flat = jnp.tile(wp, (1, T))                              # (H, 2T*T)
+        V = flat[:, : T * (2 * T - 1)].reshape(H, T, 2 * T - 1)
+        return V[:, :, T - 1 :][None]                            # (1, H, T, T)
 
 
 class MhsaBlock(nnx.Module):
