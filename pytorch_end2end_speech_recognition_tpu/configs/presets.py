@@ -68,7 +68,12 @@ def libri100_transformer() -> AsrConfig:
     cfg.model.encoder_ffn_dim = 1024
     cfg.model.encoder_heads = 4
     cfg.model.ctc_weight = 0.3
+    # genre pairing (Speech-Transformer / ESPnet): transformer decoder
+    cfg.model.decoder = "transformer"
+    cfg.model.decoder_layers = 6
     cfg.model.decoder_dim = 256
+    cfg.model.decoder_heads = 4
+    cfg.model.decoder_ffn_dim = 1024
     cfg.data.train_manifest = "data/librispeech/train-clean-100.jsonl"
     cfg.data.dev_manifest = "data/librispeech/dev-clean.jsonl"
     cfg.data.test_manifest = "data/librispeech/test-clean.jsonl"

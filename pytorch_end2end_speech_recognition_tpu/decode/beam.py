@@ -76,7 +76,7 @@ class BeamSearchDecoder:
 
             # ---- static per-utterance tensors
             mask = jnp.arange(T_enc)[None, :] < enc_lens[:, None]      # (B,T)
-            keys = model.decoder.att.precompute(enc)                   # (B,T,A)
+            keys = model.decoder.precompute(enc)                       # (B,T,...)
             enc_t = _tile_beam(enc, K)
             keys_t = _tile_beam(keys, K)
             mask_t = _tile_beam(mask, K)
@@ -88,7 +88,7 @@ class BeamSearchDecoder:
             lp_blank = lp[:, :, BLANK_ID]                              # (B,T)
 
             # ---- initial beam state
-            dec_state = model.decoder.init_state(B * K, T_enc)
+            dec_state = model.decoder.init_state(B * K, T_enc, max_len)
             lm_state = lm.init_state(B * K) if lm is not None else None
             r_init_b = jnp.cumsum(lp_blank, axis=1)                    # (B,T)
             r_state = jnp.stack(

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 from flax import nnx
 
 from pytorch_end2end_speech_recognition_tpu.models.decoder import AttentionDecoder
+from pytorch_end2end_speech_recognition_tpu.models.decoder_transformer import (
+    TransformerDecoder,
+)
 from pytorch_end2end_speech_recognition_tpu.models.encoders import build_encoder
 from pytorch_end2end_speech_recognition_tpu.ops.frontend import Frontend
 from pytorch_end2end_speech_recognition_tpu.ops.specaugment import spec_augment
@@ -36,11 +39,16 @@ class AsrModel(nnx.Module):
         self.encoder = build_encoder(cfg.frontend.n_mels, cfg.model, rngs,
                                      mesh=mesh)
         self.ctc_head = CtcHead(self.encoder.d_out, cfg.model.vocab_size, rngs)
-        self.decoder = (
-            AttentionDecoder(self.encoder.d_out, cfg.model, rngs)
-            if cfg.model.ctc_weight < 1.0
-            else None
-        )
+        if cfg.model.ctc_weight >= 1.0:
+            self.decoder = None
+        elif cfg.model.decoder == "transformer":
+            self.decoder = TransformerDecoder(self.encoder.d_out, cfg.model,
+                                              rngs)
+        elif cfg.model.decoder == "lstm":
+            self.decoder = AttentionDecoder(self.encoder.d_out, cfg.model,
+                                            rngs)
+        else:
+            raise ValueError(f"unknown decoder kind {cfg.model.decoder}")
 
     def features(
         self,

@@ -98,7 +98,15 @@ class AttentionDecoder(nnx.Module):
         self.d_enc = d_enc
 
     # ---- state management (flat dict of arrays: beam-reorder friendly) ----
-    def init_state(self, B: int, T: int) -> dict[str, jnp.ndarray]:
+    def precompute(self, enc: jnp.ndarray) -> jnp.ndarray:
+        """Per-utterance key projection (shared beam-search interface with
+        TransformerDecoder.precompute)."""
+        return self.att.precompute(enc)
+
+    def init_state(
+        self, B: int, T: int, max_len: int | None = None
+    ) -> dict[str, jnp.ndarray]:
+        del max_len  # recurrent state is O(1) in decode length
         H = self.cfg.decoder_dim
         L = len(self.cells)
         return {

@@ -30,8 +30,9 @@ from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
 # 'encoder/layers/0/fwd/w_ih' or 'encoder/blocks/3/mhsa/q/kernel'.
 RULES: list[tuple[str, P]] = [
     (r".*/(w_ih|w_hh)$", P(None, MODEL_AXIS)),          # LSTM gates
-    (r".*/(fc1|q|k|v|pw1)/kernel$", P(None, MODEL_AXIS)),
-    (r".*/(fc2|o|pw2)/kernel$", P(MODEL_AXIS, None)),
+    (r".*/(fc1|q|k|v|pw1|wq1|wk1|wv1|wq2|wk2|wv2)/kernel$",
+     P(None, MODEL_AXIS)),
+    (r".*/(fc2|o|pw2|wo1|wo2)/kernel$", P(MODEL_AXIS, None)),
     (r".*/embed/embedding$", P(None, None)),
     (r".*", P()),                                        # replicate
 ]

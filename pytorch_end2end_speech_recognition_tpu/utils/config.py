@@ -62,9 +62,12 @@ class ModelConfig:
     conv_subsample: int = 4          # transformer/conformer conv2d subsampling factor
     conformer_kernel: int = 15
     pos_encoding: str = "relative"   # 'relative' | 'absolute' for transformer/conformer
-    # decoder
+    # decoder: 'lstm' (location-aware attention speller) | 'transformer'
+    decoder: str = "lstm"
     decoder_layers: int = 1
     decoder_dim: int = 320
+    decoder_heads: int = 4           # transformer decoder only
+    decoder_ffn_dim: int = 0         # transformer decoder FFN; 0 -> 4*decoder_dim
     embed_dim: int = 320
     attention_dim: int = 320
     location_kernel: int = 31        # location-aware attention conv kernel

@@ -23,13 +23,16 @@ from pytorch_end2end_speech_recognition_tpu.utils.config import (
 )
 
 
-def _tiny_model(vocab=10):
+def _tiny_model(vocab=10, decoder="lstm"):
     cfg = AsrConfig()
     cfg.model.encoder = "blstm"
     cfg.model.encoder_layers = 1
     cfg.model.encoder_dim = 16
     cfg.model.vocab_size = vocab
+    cfg.model.decoder = decoder
+    cfg.model.decoder_layers = 2 if decoder == "transformer" else 1
     cfg.model.decoder_dim = 16
+    cfg.model.decoder_heads = 2
     cfg.model.embed_dim = 8
     cfg.model.attention_dim = 12
     cfg.model.location_kernel = 5
@@ -48,16 +51,16 @@ def _enc_and_logp(model, rng, B=2, Ts=4800):
     return enc, enc_lens, ctc_logp
 
 
-def _oracle_steps(model, enc_b, enc_len, lm=None):
+def _oracle_steps(model, enc_b, enc_len, lm=None, max_len=16):
     """Wrap decoder/LM step fns for one utterance (numpy interface)."""
     T = enc_b.shape[0]
     enc1 = enc_b[None]
-    keys = model.decoder.att.precompute(enc1)
+    keys = model.decoder.precompute(enc1)
     mask = (jnp.arange(T) < enc_len)[None, :]
 
     def att_step(token, state):
         if state == "INIT":
-            state = model.decoder.init_state(1, T)
+            state = model.decoder.init_state(1, T, max_len)
         logp, new_state, attn = model.decoder.step(
             jnp.asarray([token], dtype=jnp.int32), state, keys, enc1, mask
         )
@@ -82,10 +85,12 @@ def _device_nbest(out, b, n):
     return [(toks[k, : lens[k]].tolist(), float(scores[k])) for k in range(n)]
 
 
-@pytest.mark.parametrize("ctc_w,lm_w,cov", [
-    (0.3, 0.0, 0.0), (0.0, 0.0, 0.0), (0.5, 0.2, 0.0), (0.3, 0.0, 0.4)])
-def test_beam_matches_oracle(ctc_w, lm_w, cov, rng):
-    model, cfg = _tiny_model()
+@pytest.mark.parametrize("ctc_w,lm_w,cov,decoder", [
+    (0.3, 0.0, 0.0, "lstm"), (0.0, 0.0, 0.0, "lstm"),
+    (0.5, 0.2, 0.0, "lstm"), (0.3, 0.0, 0.4, "lstm"),
+    (0.3, 0.0, 0.0, "transformer"), (0.5, 0.2, 0.0, "transformer")])
+def test_beam_matches_oracle(ctc_w, lm_w, cov, decoder, rng):
+    model, cfg = _tiny_model(decoder=decoder)
     lm = None
     if lm_w > 0:
         cfg.model.lm_layers = 1
@@ -104,7 +109,8 @@ def test_beam_matches_oracle(ctc_w, lm_w, cov, rng):
         T_b = int(enc_lens[b])
         # device pads enc to bucket T; oracle gets the same padded arrays so
         # CTC pad-frame handling matches (blank-certain pad frames)
-        att_step, lm_step = _oracle_steps(model, np.asarray(enc[b]), T_b, lm)
+        att_step, lm_step = _oracle_steps(model, np.asarray(enc[b]), T_b, lm,
+                                          max_len=max_len)
         ref = beam_search_oracle(
             att_step, np.asarray(ctc_logp[b]), T_b,
             vocab_size=cfg.model.vocab_size,
@@ -129,9 +135,9 @@ def test_beam_size_one_attention_only_is_greedy(rng):
 
     # manual greedy attention decode
     T = enc.shape[1]
-    keys = model.decoder.att.precompute(enc)
+    keys = model.decoder.precompute(enc)
     mask = jnp.arange(T)[None, :] < enc_lens[:, None]
-    state = model.decoder.init_state(1, T)
+    state = model.decoder.init_state(1, T, max_len)
     tok = jnp.asarray([SOS_EOS_ID], dtype=jnp.int32)
     expected = []
     for _ in range(max_len):

@@ -67,9 +67,13 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
-def test_sharded_loss_and_grads_match_single_device(dp, tp, rng):
+@pytest.mark.parametrize("dp,tp,decoder", [
+    (8, 1, "lstm"), (4, 2, "lstm"), (2, 4, "lstm"), (4, 2, "transformer")])
+def test_sharded_loss_and_grads_match_single_device(dp, tp, decoder, rng):
     cfg = _tiny_cfg()
+    cfg.model.decoder = decoder
+    cfg.model.decoder_heads = 2
+    cfg.model.decoder_layers = 2 if decoder == "transformer" else 1
     model = AsrModel(cfg, nnx.Rngs(0))
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     batch = _batch(rng)

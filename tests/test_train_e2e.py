@@ -91,3 +91,20 @@ def test_hybrid_attention_training_steps(digits_corpus, tmp_path):
     solver = Solver(cfg, tok)
     hist = solver.fit(loader, steps=100)
     assert hist["loss"][-1] < hist["loss"][0] * 1.05
+
+
+def test_hybrid_transformer_decoder_training_steps(digits_corpus, tmp_path):
+    """Hybrid training with the transformer decoder runs and improves loss."""
+    cfg = _cfg(tmp_path)
+    cfg.model.ctc_weight = 0.3
+    cfg.model.decoder = "transformer"
+    cfg.model.decoder_layers = 2
+    cfg.model.decoder_dim = 64
+    cfg.model.decoder_heads = 2
+    cfg.train.lr = 1e-3
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    loader = BucketedLoader(utts, tok, cfg.data)
+    solver = Solver(cfg, tok)
+    hist = solver.fit(loader, steps=100)
+    assert hist["loss"][-1] < hist["loss"][0] * 1.05
