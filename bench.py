@@ -18,7 +18,7 @@ import time
 
 REF_AUDIO_S_PER_S = 400.0  # genre-anchored placeholder (BASELINE.md)
 
-BATCH = 8
+BATCH = 32  # throughput metric: v5e HBM fits this easily and MXU prefers it
 UTT_SECONDS = 30.0
 WARMUP = 3
 ITERS = 10

@@ -223,17 +223,24 @@ class RelPosBias(nnx.Module):
     """Bucketed relative position bias added to attention scores.
 
     TPU-friendly alternative to Transformer-XL's shift-trick rel-PE: a learned
-    (heads, n_buckets) table gathered into (1, H, T, T) — static shapes, no
-    gather over the big score tensor. Capability-equivalent to the genre's
-    'relative or sinusoidal PE' (SURVEY.md §2a).
+    (layers, heads, n_buckets) table gathered into (L, 1, H, T, T) — static
+    shapes, no gather over the big score tensor. Capability-equivalent to the
+    genre's 'relative or sinusoidal PE' (SURVEY.md §2a).
+
+    One module serves ALL encoder blocks: the Toeplitz expansion of the
+    bucketed diagonals is the expensive part (an odd-width (H, 2T-1) ->
+    (H, T, T) relayout the VPU hates — ~1.6 ms/layer at T=750), so it is
+    built ONCE per forward for every layer stacked (~2.4 ms total, 8x less
+    encoder-wide) and sliced per block.
     """
 
-    def __init__(self, heads: int, rngs: nnx.Rngs, n_buckets: int = 64,
-                 max_dist: int = 256):
+    def __init__(self, layers: int, heads: int, rngs: nnx.Rngs,
+                 n_buckets: int = 64, max_dist: int = 256):
         self.n_buckets = n_buckets
         self.max_dist = max_dist
         self.table = nnx.Param(
-            jax.random.normal(rngs.params(), (heads, n_buckets)) * 0.02)
+            jax.random.normal(rngs.params(), (layers, heads, n_buckets))
+            * 0.02)
 
     def _bucket(self, rel: jnp.ndarray) -> jnp.ndarray:
         nb = self.n_buckets // 2
@@ -247,21 +254,22 @@ class RelPosBias(nnx.Module):
         big = jnp.minimum(big, nb - 1)
         return sign + jnp.where(exact, arel, big)
 
-    def __call__(self, T: int) -> jnp.ndarray:
-        """(1, H, T, T) bias built WITHOUT a (T,T) gather: bucket the 2T-1
-        diagonals (small gather), then expand by a pad+reshape shift —
-        the (T,T)-gather version made the backward a 562k-element
-        scatter-add into the 64-bucket table and tripled the train step."""
-        H = self.table.value.shape[0]
+    def __call__(self, T: int, dtype=jnp.float32) -> jnp.ndarray:
+        """(L, 1, H, T, T) biases for all layers, built WITHOUT a (T,T)
+        gather: bucket the 2T-1 diagonals (small gather), then expand by a
+        pad+reshape shift — the (T,T)-gather version made the backward a
+        562k-element scatter-add into the 64-bucket table and tripled the
+        train step."""
+        L, H, _ = self.table.value.shape
         rel = jnp.arange(-(T - 1), T)[None, :]                   # (1, 2T-1)
         idx = self._bucket(rel)[0]                               # (2T-1,)
-        diag = self.table.value[:, idx]                          # (H, 2T-1)
-        # M[i, j] = diag[:, (T-1) + (j - i)] — a sliding window per row:
+        diag = self.table.value[:, :, idx].astype(dtype)         # (L,H,2T-1)
+        # M[i, j] = diag[..., (T-1) + (j - i)] — a sliding window per row:
         # M[i] = diag[T-1-i : 2T-1-i]
-        wp = jnp.pad(diag, ((0, 0), (0, 1)))                     # (H, 2T)
-        flat = jnp.tile(wp, (1, T))                              # (H, 2T*T)
-        V = flat[:, : T * (2 * T - 1)].reshape(H, T, 2 * T - 1)
-        return V[:, :, T - 1 :][None]                            # (1, H, T, T)
+        wp = jnp.pad(diag, ((0, 0), (0, 0), (0, 1)))             # (L, H, 2T)
+        flat = jnp.tile(wp, (1, 1, T))                           # (L,H,2T*T)
+        V = flat[:, :, : T * (2 * T - 1)].reshape(L, H, T, 2 * T - 1)
+        return V[:, :, :, T - 1 :][:, None]                      # (L,1,H,T,T)
 
 
 class MhsaBlock(nnx.Module):
@@ -280,7 +288,6 @@ class MhsaBlock(nnx.Module):
         self.v = nnx.Linear(D, D, dtype=dt, rngs=rngs)
         self.o = nnx.Linear(D, D, dtype=dt, rngs=rngs)
         self.heads = H
-        self.rel = RelPosBias(H, rngs) if relative else None
         self.rate = cfg.encoder_dropout
         self.cp_mode = cfg.cp_mode
         self.mesh = mesh
@@ -289,7 +296,9 @@ class MhsaBlock(nnx.Module):
                 "cp_mode requires pos_encoding='absolute' (relative bias is "
                 "not sliced across time shards)")
 
-    def __call__(self, x, mask, train: bool = False, rng=None):
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
+        """`bias` is this block's slice of the encoder's stacked RelPosBias
+        (built once per forward — see RelPosBias) or None for absolute PE."""
         B, T, D = x.shape
         h = self.ln(x)
         q = self.q(h).reshape(B, T, self.heads, -1)
@@ -306,9 +315,6 @@ class MhsaBlock(nnx.Module):
                 v.astype(jnp.float32), lens, mode=self.cp_mode,
             )
         else:
-            bias = None
-            if self.rel is not None:
-                bias = self.rel(T).astype(q.dtype)
             safe_mask = mask | (jnp.arange(T)[None, :] == 0)    # avoid all-masked
             attn_mask = safe_mask[:, None, None, :]             # (B,1,1,T)
             y = jax.nn.dot_product_attention(
@@ -346,11 +352,11 @@ class TransformerBlock(nnx.Module):
         self.mhsa = MhsaBlock(cfg, rngs, relative=relative, mesh=mesh)
         self.ffn = FfnBlock(cfg, rngs)
 
-    def __call__(self, x, mask, train: bool = False, rng=None):
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
         k1 = k2 = None
         if rng is not None:
             k1, k2 = jax.random.split(rng)
-        return self.ffn(self.mhsa(x, mask, train, k1), train, k2)
+        return self.ffn(self.mhsa(x, mask, train, k1, bias=bias), train, k2)
 
 
 class TransformerEncoder(nnx.Module):
@@ -362,6 +368,10 @@ class TransformerEncoder(nnx.Module):
         D = cfg.encoder_dim
         self.sub = ConvSubsample(d_in, D, cfg, rngs)
         self.relative = cfg.pos_encoding == "relative"
+        self.rel = (
+            RelPosBias(cfg.encoder_layers, cfg.encoder_heads, rngs)
+            if self.relative else None
+        )
         self.blocks = nnx.List(
             [TransformerBlock(cfg, rngs, self.relative, mesh=mesh)
              for _ in range(cfg.encoder_layers)]
@@ -378,14 +388,16 @@ class TransformerEncoder(nnx.Module):
             x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2]))
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
+        biases = self.rel(T, dtype=_dt(self.cfg)) if self.rel else None
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
+            bb = biases[i] if biases is not None else None
             if self.cfg.remat and train:
                 x = jax.checkpoint(
-                    lambda x, m, kk, blk=blk: blk(x, m, True, kk)
-                )(x, mask, k)
+                    lambda x, m, kk, bb, blk=blk: blk(x, m, True, kk, bias=bb)
+                )(x, mask, k, bb)
             else:
-                x = blk(x, mask, train, k)
+                x = blk(x, mask, train, k, bias=bb)
         x = self.ln_out(x)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
@@ -430,12 +442,12 @@ class ConformerBlock(nnx.Module):
         self.ff2 = FfnBlock(cfg, rngs, scale=0.5)
         self.ln = nnx.LayerNorm(cfg.encoder_dim, rngs=rngs)
 
-    def __call__(self, x, mask, train: bool = False, rng=None):
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
         ks = [None] * 4
         if rng is not None:
             ks = list(jax.random.split(rng, 4))
         x = self.ff1(x, train, ks[0])
-        x = self.mhsa(x, mask, train, ks[1])
+        x = self.mhsa(x, mask, train, ks[1], bias=bias)
         x = self.conv(x, mask, train, ks[2])
         x = self.ff2(x, train, ks[3])
         return self.ln(x)
@@ -449,6 +461,10 @@ class ConformerEncoder(nnx.Module):
         self.cfg = cfg
         D = cfg.encoder_dim
         self.sub = ConvSubsample(d_in, D, cfg, rngs)
+        self.rel = (
+            RelPosBias(cfg.encoder_layers, cfg.encoder_heads, rngs)
+            if cfg.pos_encoding == "relative" else None
+        )
         self.blocks = nnx.List(
             [ConformerBlock(cfg, rngs, mesh=mesh)
              for _ in range(cfg.encoder_layers)]
@@ -462,14 +478,16 @@ class ConformerEncoder(nnx.Module):
         T = x.shape[1]
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
+        biases = self.rel(T, dtype=_dt(self.cfg)) if self.rel else None
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
+            bb = biases[i] if biases is not None else None
             if self.cfg.remat and train:
                 x = jax.checkpoint(
-                    lambda x, m, kk, blk=blk: blk(x, m, True, kk)
-                )(x, mask, k)
+                    lambda x, m, kk, bb, blk=blk: blk(x, m, True, kk, bias=bb)
+                )(x, mask, k, bb)
             else:
-                x = blk(x, mask, train, k)
+                x = blk(x, mask, train, k, bias=bb)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
 

@@ -96,12 +96,15 @@ def pipeline_apply(
 
 def pipeline_blocks(
     mesh, axis: str, blocks, x, mask, n_micro: int,
-    train: bool = False, rng=None,
+    train: bool = False, rng=None, biases=None,
 ):
     """Apply a list of blocks as a pipeline over `axis`.
 
     len(blocks) must divide by the axis size; each stage applies
     len(blocks)/S consecutive blocks. mask is replicated (closure).
+    `biases` (optional): per-layer attention bias stack (N, 1, H, T, T)
+    from the encoder's RelPosBias — threaded alongside the layer params so
+    relative-PE blocks pipeline correctly.
     """
     S = mesh.shape[axis]
     N = len(blocks)
@@ -113,9 +116,12 @@ def pipeline_blocks(
     stage_states = []
     for s in range(S):
         states = [nnx.split(b)[1] for b in blocks[s * per : (s + 1) * per]]
-        stage_states.append(jax.tree_util.tree_map(
+        st = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs, axis=0), *states
-        ))
+        )
+        bs = (biases[s * per : (s + 1) * per] if biases is not None
+              else jnp.zeros((per, 1, 1, 1, 1), x.dtype))
+        stage_states.append((st, bs))
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *stage_states
     )
@@ -132,8 +138,10 @@ def pipeline_blocks(
         m_part = xi[..., -1] > 0.5
 
         def apply_layer(h, layer_state):
-            block = nnx.merge(graphdef, layer_state)
-            return block(h, m_part, train), None
+            state, bias = layer_state
+            block = nnx.merge(graphdef, state)
+            bb = bias if biases is not None else None
+            return block(h, m_part, train, bias=bb), None
 
         h, _ = jax.lax.scan(apply_layer, x_part, params_per_layer)
         return jnp.concatenate([h, xi[..., -1:]], axis=-1)

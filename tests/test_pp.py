@@ -45,13 +45,15 @@ def test_pipeline_apply_matches_sequential(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("layers,stages", [(4, 4), (8, 4)])
-def test_pipeline_blocks_matches_sequential(layers, stages, rng):
+@pytest.mark.parametrize("layers,stages,relative", [
+    (4, 4, False), (8, 4, False), (4, 4, True)])
+def test_pipeline_blocks_matches_sequential(layers, stages, relative, rng):
     cfg = ModelConfig(encoder_dim=32, encoder_ffn_dim=64, encoder_heads=4,
-                      dtype="float32", pos_encoding="absolute",
+                      dtype="float32",
+                      pos_encoding="relative" if relative else "absolute",
                       encoder_dropout=0.0)
     rngs = nnx.Rngs(0)
-    blocks = [TransformerBlock(cfg, rngs, relative=False)
+    blocks = [TransformerBlock(cfg, rngs, relative=relative)
               for _ in range(layers)]
     B, T, D = 8, 24, 32
     x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
@@ -59,10 +61,17 @@ def test_pipeline_blocks_matches_sequential(layers, stages, rng):
         np.arange(T)[None, :] < np.asarray([24, 20, 24, 10, 24, 24, 5, 24])
         [:, None]
     )
+    biases = None
+    if relative:
+        from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+            RelPosBias,
+        )
+        biases = RelPosBias(layers, cfg.encoder_heads, rngs)(T)
     ref = x
-    for b in blocks:
-        ref = b(ref, mask)
+    for i, b in enumerate(blocks):
+        ref = b(ref, mask, bias=biases[i] if relative else None)
     mesh = make_mesh(dp=2, tp=stages)
-    out = pipeline_blocks(mesh, "model", blocks, x, mask, n_micro=4)
+    out = pipeline_blocks(mesh, "model", blocks, x, mask, n_micro=4,
+                          biases=biases)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
                                atol=2e-5)
