@@ -290,6 +290,7 @@ class MhsaBlock(nnx.Module):
         self.heads = H
         self.rate = cfg.encoder_dropout
         self.cp_mode = cfg.cp_mode
+        self.attn_impl = cfg.attn_impl
         self.mesh = mesh
         if self.cp_mode and relative:
             raise ValueError(
@@ -301,27 +302,38 @@ class MhsaBlock(nnx.Module):
         (built once per forward — see RelPosBias) or None for absolute PE."""
         B, T, D = x.shape
         h = self.ln(x)
-        q = self.q(h).reshape(B, T, self.heads, -1)
-        k = self.k(h).reshape(B, T, self.heads, -1)
-        v = self.v(h).reshape(B, T, self.heads, -1)
+        qf, kf, vf = self.q(h), self.k(h), self.v(h)            # (B,T,D)
         if self.cp_mode and self.mesh is not None:
             from pytorch_end2end_speech_recognition_tpu.parallel.cp import (
                 sharded_self_attention,
             )
 
             lens = mask.sum(axis=1)
+            rs = (B, T, self.heads, D // self.heads)
             y = sharded_self_attention(
-                self.mesh, q.astype(jnp.float32), k.astype(jnp.float32),
-                v.astype(jnp.float32), lens, mode=self.cp_mode,
+                self.mesh, qf.reshape(rs).astype(jnp.float32),
+                kf.reshape(rs).astype(jnp.float32),
+                vf.reshape(rs).astype(jnp.float32), lens, mode=self.cp_mode,
+            ).reshape(B, T, D)
+        elif self.attn_impl == "pallas":
+            from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
+                fused_attention,
+            )
+
+            lens = mask.sum(axis=1).astype(jnp.int32)
+            y = fused_attention(
+                qf, kf, vf, bias[0] if bias is not None else None, lens,
+                self.heads,
             )
         else:
+            rs = (B, T, self.heads, D // self.heads)
             safe_mask = mask | (jnp.arange(T)[None, :] == 0)    # avoid all-masked
             attn_mask = safe_mask[:, None, None, :]             # (B,1,1,T)
             y = jax.nn.dot_product_attention(
-                q, k, v, bias=bias, mask=attn_mask
-            )
-        y = self.o(y.reshape(B, T, D).astype(_dt_of(self.q))).astype(
-            jnp.float32)
+                qf.reshape(rs), kf.reshape(rs), vf.reshape(rs),
+                bias=bias, mask=attn_mask,
+            ).reshape(B, T, D)
+        y = self.o(y.astype(_dt_of(self.q))).astype(jnp.float32)
         y = dropout(y, self.rate, rng, train)
         return x + y
 

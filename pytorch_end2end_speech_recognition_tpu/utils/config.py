@@ -30,6 +30,7 @@ class FrontendConfig:
     cmvn_stats_path: str = ""        # JSON {mean: [n_mels], std: [n_mels]}
     # SpecAugment (train only)
     spec_augment: bool = True
+    time_warp_param: int = 0       # W; 0 disables (genre default)
     freq_mask_param: int = 27
     n_freq_masks: int = 2
     time_mask_param: int = 100
@@ -87,6 +88,7 @@ class ModelConfig:
     # kernel implementations: 'xla' | 'pallas'
     ctc_impl: str = "xla"
     lstm_impl: str = "xla"
+    attn_impl: str = "xla"           # encoder self-attention (fused Pallas)
     remat: bool = False              # jax.checkpoint encoder blocks (memory)
     # context parallelism for encoder self-attention over the 'model' axis:
     # '' (off) | 'ring' | 'ulysses'; requires pos_encoding='absolute'
