@@ -170,8 +170,11 @@ class BucketedLoader:
             texts.append(self.utts[i].text)
         return Batch(audio, alens, tokens, tlens, ids, texts)
 
-    def epoch(self, epoch: int | None = None):
-        """One pass over this host's shard, in shuffled bucket order."""
+    def epoch(self, epoch: int | None = None, start_batch: int = 0):
+        """One pass over this host's shard, in shuffled bucket order.
+        `start_batch` skips the first N batches (checkpoint-resume cursor,
+        SURVEY.md §5.4 'loader cursor'): epochs are deterministic in
+        (cfg.seed, epoch), so (epoch, batch index) is an exact position."""
         ep = self._epoch if epoch is None else epoch
         rng = np.random.default_rng((self.cfg.seed, ep))
         jobs: list[tuple[Bucket, list[int]]] = []
@@ -184,6 +187,7 @@ class BucketedLoader:
                 jobs.append((b, list(idxs[s : s + b.batch_size])))
         if self.train and self.cfg.shuffle:
             rng.shuffle(jobs)  # type: ignore[arg-type]
+        jobs = jobs[start_batch:]
         for b, idxs in jobs:
             yield self._make_batch(b, idxs)
         self._epoch = ep + 1
@@ -191,11 +195,21 @@ class BucketedLoader:
     def __iter__(self):
         return self.epoch()
 
-    def repeat(self):
-        """Infinite step-based iteration (training)."""
-        ep = 0
+    def repeat(self, start_epoch: int = 0, start_batch: int = 0,
+               with_cursor: bool = False):
+        """Infinite step-based iteration (training), resumable from a
+        (epoch, batch) cursor. With `with_cursor`, yields
+        (epoch, batch_index, batch) so the trainer can persist its exact
+        data position in checkpoints."""
+        ep = start_epoch
+        skip = start_batch
         while True:
-            yield from self.epoch(ep)
+            for i, batch in enumerate(self.epoch(ep, start_batch=skip)):
+                if with_cursor:
+                    yield ep, skip + i, batch
+                else:
+                    yield batch
+            skip = 0
             ep += 1
 
 

@@ -18,20 +18,32 @@ import orbax.checkpoint as ocp
 from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
 
 
+def _default_meta() -> dict:
+    """Training-state metadata beyond (params, opt): step, best metric,
+    PRNG key, loader cursor, plateau-LR state (SURVEY.md §5.4)."""
+    return {
+        "step": np.asarray(0),
+        "best_wer": np.asarray(0.0, np.float32),
+        "rng": np.zeros((2,), np.uint32),
+        "cursor_epoch": np.asarray(0),
+        "cursor_batch": np.asarray(0),
+        "lr_scale": np.asarray(1.0, np.float32),
+        "evals_since_best": np.asarray(0),
+    }
+
+
 def save_checkpoint(
     ckpt_dir: str, tag: str, params, opt_state, step: int, best_wer: float,
-    cfg: AsrConfig | None = None,
+    cfg: AsrConfig | None = None, extra_meta: dict | None = None,
 ) -> None:
     path = (Path(ckpt_dir) / tag).absolute()
     ckptr = ocp.StandardCheckpointer()
-    tree = {
-        "params": params,
-        "opt_state": opt_state,
-        "meta": {
-            "step": np.asarray(step),
-            "best_wer": np.asarray(best_wer, np.float32),
-        },
-    }
+    meta = _default_meta()
+    meta["step"] = np.asarray(step)
+    meta["best_wer"] = np.asarray(best_wer, np.float32)
+    for k, v in (extra_meta or {}).items():
+        meta[k] = np.asarray(v, meta[k].dtype).reshape(meta[k].shape)
+    tree = {"params": params, "opt_state": opt_state, "meta": meta}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     if cfg is not None:
@@ -44,30 +56,28 @@ def load_checkpoint(ckpt_dir: str, tag: str, params_like, opt_state_like) -> dic
     target = {
         "params": params_like,
         "opt_state": opt_state_like,
-        "meta": {
-            "step": np.asarray(0),
-            "best_wer": np.asarray(0.0, np.float32),
-        },
+        "meta": _default_meta(),
     }
     restored = ckptr.restore(path, target)
-    return {
+    out = {
         "params": restored["params"],
         "opt_state": restored["opt_state"],
-        "step": restored["meta"]["step"],
-        "best_wer": restored["meta"]["best_wer"],
     }
+    out.update(restored["meta"])
+    return out
 
 
 def save_step_checkpoint(
     ckpt_dir: str, step: int, params, opt_state, best_wer: float,
     cfg: AsrConfig | None = None, max_to_keep: int = 3,
+    extra_meta: dict | None = None,
 ) -> None:
     """Step-tagged checkpoint with retention of the newest `max_to_keep`
     (genre parity: periodic snapshots; best/last tags are kept separately)."""
     import shutil
 
     save_checkpoint(ckpt_dir, f"step_{step:08d}", params, opt_state, step,
-                    best_wer, cfg)
+                    best_wer, cfg, extra_meta=extra_meta)
     steps = sorted(
         p for p in Path(ckpt_dir).glob("step_*") if p.is_dir()
     )

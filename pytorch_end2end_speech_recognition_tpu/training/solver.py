@@ -67,6 +67,9 @@ class Solver:
         self.best_wer = float("inf")
         self.lr_scale = 1.0          # host-driven plateau decay multiplier
         self._evals_since_best = 0
+        self._key = jax.random.PRNGKey(cfg.train.seed)
+        self.cursor_epoch = 0        # loader position for exact resume
+        self.cursor_batch = 0
         self.logger = MetricsLogger(cfg.train.metrics_path,
                                     tensorboard_dir=cfg.train.tensorboard_dir)
         self._train_step = self._build_train_step()
@@ -173,15 +176,19 @@ class Solver:
     ) -> dict:
         cfg = self.cfg.train
         steps = steps or cfg.steps
-        key = jax.random.PRNGKey(cfg.seed)
         t0 = time.time()
         audio_s = 0.0
         history = {"loss": []}
-        it = prefetch(train_loader.repeat(), depth=2)
-        for batch in it:
+        it = prefetch(
+            train_loader.repeat(self.cursor_epoch, self.cursor_batch,
+                                with_cursor=True),
+            depth=2,
+        )
+        for ep, bi, batch in it:
             if self.step >= steps:
                 break
-            key, sub = jax.random.split(key)
+            self._key, sub = jax.random.split(self._key)
+            self.cursor_epoch, self.cursor_batch = ep, bi + 1
             arrays = self._put(batch)
             self.params, self.opt_state, self.rest, metrics = self._train_step(
                 self.params, self.opt_state, self.rest, *arrays, sub,
@@ -269,6 +276,17 @@ class Solver:
         ]
 
     # ------------------------------------------------------------ checkpoints
+    def _extra_meta(self) -> dict:
+        return {
+            "rng": np.asarray(jax.random.key_data(self._key), np.uint32)
+            if jax.dtypes.issubdtype(self._key.dtype, jax.dtypes.prng_key)
+            else np.asarray(self._key, np.uint32),
+            "cursor_epoch": self.cursor_epoch,
+            "cursor_batch": self.cursor_batch,
+            "lr_scale": self.lr_scale,
+            "evals_since_best": self._evals_since_best,
+        }
+
     def save_checkpoint(self, tag: str = "last"):
         from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
             save_checkpoint,
@@ -278,6 +296,7 @@ class Solver:
             self.cfg.train.checkpoint_dir, tag,
             params=self.params, opt_state=self.opt_state,
             step=self.step, best_wer=self.best_wer, cfg=self.cfg,
+            extra_meta=self._extra_meta(),
         )
 
     def save_step_checkpoint(self):
@@ -290,6 +309,7 @@ class Solver:
             params=self.params, opt_state=self.opt_state,
             best_wer=self.best_wer, cfg=self.cfg,
             max_to_keep=self.cfg.train.keep_checkpoints,
+            extra_meta=self._extra_meta(),
         )
 
     def load_checkpoint(self, tag: str = "last"):
@@ -305,3 +325,12 @@ class Solver:
         self.opt_state = data["opt_state"]
         self.step = int(data["step"])
         self.best_wer = float(data["best_wer"])
+        self._key = jax.random.wrap_key_data(
+            jnp.asarray(data["rng"], jnp.uint32)
+        ) if jax.dtypes.issubdtype(
+            self._key.dtype, jax.dtypes.prng_key
+        ) else jnp.asarray(data["rng"], jnp.uint32)
+        self.cursor_epoch = int(data["cursor_epoch"])
+        self.cursor_batch = int(data["cursor_batch"])
+        self.lr_scale = float(data["lr_scale"])
+        self._evals_since_best = int(data["evals_since_best"])

@@ -98,3 +98,40 @@ def test_frontend_frame_lens_consistency():
     for n in [400, 401, 560, 16000, 399]:
         expected = max(0, (n - fe.win) // fe.hop + 1)
         assert fe.n_frames(n) == expected
+
+
+def test_time_warp_properties(rng):
+    from pytorch_end2end_speech_recognition_tpu.ops.specaugment import (
+        time_warp,
+    )
+
+    B, T, F = 3, 60, 8
+    feats = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    flens = jnp.asarray([60, 40, 9], jnp.int32)  # 9 < 2W+2 -> identity
+    out = time_warp(jax.random.PRNGKey(0), feats, flens, W=5)
+    assert out.shape == feats.shape
+    # too-short utterance passes through unchanged
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(feats[2]),
+                               atol=1e-6)
+    # padded frames untouched
+    np.testing.assert_allclose(np.asarray(out[1, 40:]),
+                               np.asarray(feats[1, 40:]), atol=1e-6)
+    # warped region differs for long utterances
+    assert float(jnp.abs(out[0] - feats[0]).max()) > 1e-4
+    # deterministic in the key
+    out2 = time_warp(jax.random.PRNGKey(0), feats, flens, W=5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # value range preserved (linear interpolation of existing frames)
+    assert float(out.max()) <= float(feats.max()) + 1e-5
+    assert float(out.min()) >= float(feats.min()) - 1e-5
+
+
+def test_spec_augment_with_time_warp_in_policy(rng):
+    cfg = _cfg(spec_augment=True)
+    cfg.time_warp_param = 4
+    B, T, F = 2, 50, cfg.n_mels
+    feats = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    flens = jnp.asarray([50, 30], jnp.int32)
+    out = spec_augment(jax.random.PRNGKey(0), feats, flens, cfg)
+    assert out.shape == feats.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -79,6 +79,37 @@ def test_first_step_deterministic(digits_corpus, tmp_path):
     assert losses[0] == losses[1]
 
 
+def test_resume_continues_exactly(digits_corpus, tmp_path):
+    """Training 12 steps, checkpointing, and resuming 6 more in a fresh
+    process must equal 18 uninterrupted steps bit-for-bit: the checkpoint
+    carries the PRNG key and the loader cursor (SURVEY.md §5.4)."""
+    cfg = _cfg(tmp_path / "a")
+    cfg.train.checkpoint_dir = str(tmp_path / "a" / "ckpt")
+    cfg.train.metrics_path = str(tmp_path / "a" / "m.jsonl")
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+
+    s1 = Solver(cfg, tok)
+    s1.fit(BucketedLoader(utts, tok, cfg.data), steps=18)
+    ref = jax.tree_util.tree_leaves(s1.params)
+
+    cfg2 = _cfg(tmp_path / "b")
+    cfg2.train.checkpoint_dir = str(tmp_path / "b" / "ckpt")
+    cfg2.train.metrics_path = str(tmp_path / "b" / "m.jsonl")
+    s2 = Solver(cfg2, tok)
+    s2.fit(BucketedLoader(utts, tok, cfg2.data), steps=12)
+    s2.save_checkpoint("last")
+    s3 = Solver(cfg2, tok)
+    s3.load_checkpoint("last")
+    assert s3.step == 12
+    s3.fit(BucketedLoader(utts, tok, cfg2.data), steps=18)
+    got = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(ref, got):
+        v_a = a.value if hasattr(a, "value") else a
+        v_b = b.value if hasattr(b, "value") else b
+        np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+
+
 def test_hybrid_attention_training_steps(digits_corpus, tmp_path):
     """Hybrid CTC+attention train step runs and improves loss."""
     cfg = _cfg(tmp_path)
