@@ -116,6 +116,124 @@ def _attention_fwd_pallas(q, k, v, bias, lens, heads: int):
     return out[:, :T]
 
 
+def _bwd_kernel(lens_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                sm_scale, has_bias):
+    """Backward for one (head, batch-row): recompute p, then
+    dv = p^T g, dp = g v^T, ds = p*(dp - rowsum(dp*p)),
+    dq = ds k * scale, dk = ds^T (q*scale), dbias_h = sum_b ds.
+
+    Inputs arrive pre-split per head as (H, B, Tp, Dh) — Mosaic cannot
+    prove a dynamic Dh-lane offset is 128-aligned, so the head split
+    happens in XLA (cheap transposes) instead of dynamic ref slicing.
+    grid = (H, B) with b innermost; dbias accumulates directly in its
+    f32 output block, which stays resident for the whole batch sweep
+    (its index depends only on h).
+    """
+    b = pl.program_id(1)
+    Tp = q_ref.shape[2]
+    L = lens_ref[b, 0]
+    qs = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    kh = k_ref[0, 0]
+    vh = v_ref[0, 0]
+    gh = g_ref[0, 0]
+    s = jax.lax.dot_general(
+        qs, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    s = jnp.where(col < L, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / den                                       # (Tp, Tp) f32
+    pc = p.astype(vh.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pc, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsc = ds.astype(q_ref.dtype)
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        dsc, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dsc, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    if has_bias:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+        dbias_ref[0] += ds
+
+
+def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
+    B, T, D = q.shape
+    Dh = D // heads
+    Tp = _round_up(T, LANE)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k, v, g = (jnp.pad(a, pad) for a in (q, k, v, g))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
+    has_bias = bias is not None
+    bias_in = bias if has_bias else jnp.zeros((1, 8, LANE), q.dtype)
+
+    def split(x):  # (B, Tp, D) -> (H, B, Tp, Dh)
+        return x.reshape(B, Tp, heads, Dh).transpose(2, 0, 1, 3)
+
+    head_in = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(
+        (1,) + bias_in.shape[1:],
+        (lambda h, b: (h, 0, 0)) if has_bias else (lambda h, b: (0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    head_out = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dbias_shape = (heads, Tp, Tp) if has_bias else (1, 8, LANE)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=1.0 / (Dh ** 0.5),
+                          has_bias=has_bias),
+        grid=(heads, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            head_in, head_in, head_in, head_in, bias_spec,
+        ],
+        out_specs=(
+            head_out, head_out, head_out,
+            pl.BlockSpec((1, Tp, Tp), lambda h, b: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if has_bias else
+            pl.BlockSpec(dbias_shape, lambda h, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), k.dtype),
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), v.dtype),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * heads * Tp * Tp * Dh,
+            bytes_accessed=8 * B * Tp * D * q.dtype.itemsize,
+            transcendentals=B * heads * Tp * Tp,
+        ),
+    )(lens.astype(jnp.int32).reshape(B, 1), split(q), split(k), split(v),
+      split(g), bias_in)
+
+    def merge(x, ref):
+        out = x.transpose(1, 2, 0, 3).reshape(B, Tp, D)[:, :T]
+        return out.astype(ref.dtype)
+
+    dbias_out = (
+        dbias[:, :T, :T].astype(bias.dtype) if has_bias else None
+    )
+    return merge(dq, q), merge(dk, k), merge(dv, v), dbias_out
+
+
 def _attention_xla(q, k, v, bias, lens, heads: int):
     """Reference math shared by the backward pass and the CPU/oracle path.
     Bit-compatible with the kernel up to reduction order."""
@@ -165,6 +283,10 @@ def _fwd(q, k, v, bias, lens, heads):
 def _bwd(heads, res, g):
     q, k, v, bias, lens = res
     B, T, D = q.shape
+    if jax.default_backend() not in ("cpu",) and T <= 768:
+        dq, dk, dv, dbias = _attention_bwd_pallas(q, k, v, bias, lens, g,
+                                                  heads)
+        return dq, dk, dv, dbias, None
     Dh = D // heads
     qh = q.reshape(B, T, heads, Dh).astype(jnp.float32)
     kh = k.reshape(B, T, heads, Dh).astype(jnp.float32)

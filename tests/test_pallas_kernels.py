@@ -182,3 +182,46 @@ def test_fused_attention_vjp_matches_autodiff(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_bwd_kernel_matches_autodiff(rng):
+    """Pallas backward kernel == autodiff through the reference math."""
+    from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
+        _attention_bwd_pallas,
+        _attention_xla,
+    )
+
+    B, T, H, Dh = 3, 40, 2, 8
+    D = H * Dh
+    q = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lens = jnp.asarray([40, 17, 2], jnp.int32)
+    for with_bias in (True, False):
+        bias = (
+            jnp.asarray(rng.standard_normal((H, T, T)).astype(np.float32)
+                        * 0.3)
+            if with_bias else None
+        )
+        g = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+        # upstream grads of padded query rows are zero in the real model
+        g = jnp.where(jnp.arange(T)[None, :, None] < lens[:, None, None],
+                      g, 0.0)
+        with pltpu.force_tpu_interpret_mode():
+            dq, dk, dv, dbias = _attention_bwd_pallas(q, k, v, bias, lens,
+                                                      g, H)
+
+        def loss(q, k, v, b):
+            return jnp.sum(_attention_xla(q, k, v, b, lens, H) * g)
+
+        if with_bias:
+            rq, rk, rv, rb = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v,
+                                                                  bias)
+            np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb),
+                                       rtol=2e-4, atol=2e-4)
+        else:
+            rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, None)
+            assert dbias is None
+        for a, b in ((dq, rq), (dk, rk), (dv, rv)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
