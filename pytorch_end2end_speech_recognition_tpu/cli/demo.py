@@ -18,6 +18,8 @@ def main(argv=None):
     ap.add_argument("--encoder", default="blstm",
                     choices=["blstm", "pblstm", "transformer", "conformer"])
     ap.add_argument("--ctc-weight", type=float, default=1.0)
+    ap.add_argument("--decoder", default="lstm",
+                    choices=["lstm", "transformer"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -41,12 +43,19 @@ def main(argv=None):
                                    n_test=12, max_digits=3)
     utts = read_manifest(manifests["train"])
     tok = CharTokenizer([u.text for u in utts])
+    tok.save(work / "tokenizer.json")
 
     cfg = AsrConfig(name="demo")
+    cfg.data.tokenizer_path = str(work / "tokenizer.json")
     cfg.model.encoder = args.encoder
     cfg.model.encoder_layers = 2
     cfg.model.encoder_dim = 96
     cfg.model.ctc_weight = args.ctc_weight
+    cfg.model.decoder = args.decoder
+    if args.decoder == "transformer":
+        cfg.model.decoder_layers = 2
+        cfg.model.decoder_dim = 96
+        cfg.model.decoder_heads = 4
     cfg.model.dtype = "float32"
     cfg.frontend.spec_augment = False
     cfg.data.batch_size = 8

@@ -145,3 +145,35 @@ def test_indivisible_dims_fall_back_to_replication():
     leaf2 = jnp.zeros((10, 32))
     assert _divisible_or_replicated(mesh, leaf2, P(None, "model")) == P(
         None, "model")
+
+
+def test_checkpoint_restore_across_mesh_shapes(rng, tmp_path):
+    """Orbax restore is resharding-aware: params saved under a (8,1) mesh
+    restore bit-exactly into a (2,4) mesh layout (SURVEY.md §5.4 'works
+    when mesh shape changes between runs')."""
+    from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    model = AsrModel(cfg, nnx.Rngs(0))
+    _, params, _ = nnx.split(model, nnx.Param, ...)
+
+    mesh_a = make_mesh(dp=8, tp=1)
+    params_a, _ = shard_train_state(mesh_a, params, ())
+    save_checkpoint(str(tmp_path), "m", params_a, {"x": jnp.zeros(3)},
+                    step=7, best_wer=0.5)
+
+    mesh_b = make_mesh(dp=2, tp=4)
+    model_b = AsrModel(cfg, nnx.Rngs(1))  # different init
+    _, params_b, _ = nnx.split(model_b, nnx.Param, ...)
+    params_b, _ = shard_train_state(mesh_b, params_b, ())
+    out = load_checkpoint(str(tmp_path), "m", params_b, {"x": jnp.zeros(3)})
+    assert int(out["step"]) == 7
+    ref = jax.tree_util.tree_leaves(params_a)
+    got = jax.tree_util.tree_leaves(out["params"])
+    for a, b in zip(ref, got):
+        va = a.value if hasattr(a, "value") else a
+        vb = b.value if hasattr(b, "value") else b
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

@@ -139,3 +139,39 @@ def test_hybrid_transformer_decoder_training_steps(digits_corpus, tmp_path):
     solver = Solver(cfg, tok)
     hist = solver.fit(loader, steps=100)
     assert hist["loss"][-1] < hist["loss"][0] * 1.05
+
+
+def test_transcribe_cli(trained, digits_corpus, tmp_path, capsys):
+    """cli/transcribe: single-wav inference (batch + streaming) against a
+    trained checkpoint (genre 'recognize.py' parity)."""
+    import json as _json
+    from pathlib import Path
+
+    from pytorch_end2end_speech_recognition_tpu.cli import transcribe
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+    )
+
+    cfg, tok, loader, solver = trained
+    tok_path = tmp_path / "tok.json"
+    tok.save(tok_path)
+    cfg.data.tokenizer_path = str(tok_path)
+    solver.save_checkpoint("last")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    utt = read_manifest(digits_corpus["train"])[0]
+    transcribe.main(["--config", str(cfg_path), "--checkpoint-tag", "last",
+                     utt.audio])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = _json.loads(out)
+    assert rec["file"] == utt.audio
+    # overfit model transcribes its own training utterance
+    assert rec["text"] == utt.text
+    # streaming path produces a transcript too (approximate at boundaries)
+    transcribe.main(["--config", str(cfg_path), "--checkpoint-tag", "last",
+                     "--streaming", "--chunk-s", "1.0", utt.audio])
+    rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(rec2["text"], str) and rec2["text"]
