@@ -318,13 +318,16 @@ class MhsaBlock(nnx.Module):
         elif self.attn_impl == "pallas":
             from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
                 fused_attention,
+                sharded_fused_attention,
             )
 
             lens = mask.sum(axis=1).astype(jnp.int32)
-            y = fused_attention(
-                qf, kf, vf, bias[0] if bias is not None else None, lens,
-                self.heads,
-            )
+            b3 = bias[0] if bias is not None else None
+            if self.mesh is not None:
+                y = sharded_fused_attention(self.mesh, qf, kf, vf, b3, lens,
+                                            self.heads)
+            else:
+                y = fused_attention(qf, kf, vf, b3, lens, self.heads)
         else:
             rs = (B, T, self.heads, D // self.heads)
             safe_mask = mask | (jnp.arange(T)[None, :] == 0)    # avoid all-masked

@@ -276,6 +276,50 @@ def fused_attention(q, k, v, bias, lens, heads: int):
     return _attention_xla(q, k, v, bias, lens, heads)
 
 
+def sharded_fused_attention(mesh, q, k, v, bias, lens, heads: int):
+    """fused_attention under a ('data','model') mesh via shard_map.
+
+    Batch shards over 'data'; heads (and the per-head bias) shard over
+    'model' when divisible — each device runs the single-chip kernel on its
+    local (B/dp, T, H/tp·Dh) slice, which is exactly how Megatron-TP splits
+    attention (heads are embarrassingly parallel given replicated
+    activations-in/out projections handle the collectives). No collectives
+    inside: q/k/v/bias/output grads stay shard-local.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
+        DATA_AXIS,
+        MODEL_AXIS,
+    )
+
+    tp = mesh.shape[MODEL_AXIS]
+    split_heads = heads % tp == 0 and (bias is None or bias.shape[0] == heads)
+    h_axis = MODEL_AXIS if split_heads else None
+    local_heads = heads // tp if split_heads else heads
+    qkv_spec = P(DATA_AXIS, None, h_axis)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(P(h_axis, None, None))
+        args.append(bias)
+    in_specs.append(P(DATA_AXIS))
+    args.append(lens)
+
+    if bias is not None:
+        def local(q, k, v, b, lens):
+            return fused_attention(q, k, v, b, lens, local_heads)
+    else:
+        def local(q, k, v, lens):
+            return fused_attention(q, k, v, None, lens, local_heads)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=qkv_spec,
+        check_vma=False,
+    )(*args)
+
+
 def _fwd(q, k, v, bias, lens, heads):
     return fused_attention(q, k, v, bias, lens, heads), (q, k, v, bias, lens)
 

@@ -177,3 +177,54 @@ def test_checkpoint_restore_across_mesh_shapes(rng, tmp_path):
         va = a.value if hasattr(a, "value") else a
         vb = b.value if hasattr(b, "value") else b
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+@pytest.mark.parametrize("dp,tp,with_bias", [
+    (8, 1, True), (4, 2, True), (2, 4, False)])
+def test_sharded_fused_attention_matches_global(dp, tp, with_bias, rng):
+    """shard_map'd fused attention (DP batch + TP heads) == global XLA
+    reference, values and grads (incl. the per-head bias grad)."""
+    from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
+        _attention_xla,
+        sharded_fused_attention,
+    )
+
+    B, T, H, Dh = 8, 40, 4, 8
+    D = H * Dh
+    q = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    lens = jnp.asarray([40, 23, 7, 40, 12, 40, 3, 31], jnp.int32)
+    bias = (
+        jnp.asarray(rng.standard_normal((H, T, T)).astype(np.float32) * 0.3)
+        if with_bias else None
+    )
+    g = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    g = jnp.where(jnp.arange(T)[None, :, None] < lens[:, None, None], g, 0.0)
+    mesh = make_mesh(dp=dp, tp=tp)
+
+    def loss_sh(q, k, v, b):
+        return jnp.sum(
+            sharded_fused_attention(mesh, q, k, v, b, lens, H) * g)
+
+    def loss_ref(q, k, v, b):
+        return jnp.sum(_attention_xla(q, k, v, b, lens, H) * g)
+
+    with mesh:
+        out = jax.jit(
+            lambda q, k, v: sharded_fused_attention(mesh, q, k, v, bias,
+                                                    lens, H)
+        )(q, k, v)
+    ref = _attention_xla(q, k, v, bias, lens, H)
+    m = jnp.arange(T)[None, :, None] < lens[:, None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m, out, 0.0)), np.asarray(jnp.where(m, ref, 0.0)),
+        rtol=2e-4, atol=2e-4)
+
+    argnums = (0, 1, 2, 3) if with_bias else (0, 1, 2)
+    with mesh:
+        gs = jax.jit(jax.grad(loss_sh, argnums=argnums))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=argnums)(q, k, v, bias)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
