@@ -98,8 +98,9 @@ def test_sharded_loss_and_grads_match_single_device(dp, tp, decoder, rng):
     flat_sh = jax.tree_util.tree_leaves(grads)
     for a, b in zip(flat_ref, flat_sh):
         # reduction order differs across shardings; tolerate f32 noise
+        # (8-way DP all-reduce vs single-device sum on near-zero grads)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
-                                   atol=1e-4)
+                                   atol=5e-4)
 
 
 def test_param_specs_rules():
