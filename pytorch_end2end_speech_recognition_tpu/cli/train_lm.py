@@ -41,13 +41,16 @@ def train_lm(cfg, tok, texts, dev_texts, out_dir: str, steps: int,
     import optax
     from flax import nnx
 
-    from pytorch_end2end_speech_recognition_tpu.models.lm import RnnLm, lm_loss
+    from pytorch_end2end_speech_recognition_tpu.models.lm import (
+        build_lm,
+        lm_loss,
+    )
     from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
         save_checkpoint,
     )
 
     cfg.model.vocab_size = tok.vocab_size
-    lm = RnnLm(cfg.model, nnx.Rngs(seed))
+    lm = build_lm(cfg.model, nnx.Rngs(seed))
     graphdef, params = nnx.split(lm, nnx.Param)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(lr))
     opt_state = tx.init(params)
@@ -101,17 +104,17 @@ def train_lm(cfg, tok, texts, dev_texts, out_dir: str, steps: int,
 
 
 def load_lm(ckpt_dir: str, cfg, tok):
-    """Restore an RnnLm for shallow fusion."""
+    """Restore a language model (RNN or transformer) for shallow fusion."""
     import optax
     from flax import nnx
 
-    from pytorch_end2end_speech_recognition_tpu.models.lm import RnnLm
+    from pytorch_end2end_speech_recognition_tpu.models.lm import build_lm
     from pytorch_end2end_speech_recognition_tpu.training.checkpoint import (
         load_checkpoint,
     )
 
     cfg.model.vocab_size = tok.vocab_size
-    lm = RnnLm(cfg.model, nnx.Rngs(0))
+    lm = build_lm(cfg.model, nnx.Rngs(0))
     graphdef, params = nnx.split(lm, nnx.Param)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
     data = load_checkpoint(ckpt_dir, "lm", params_like=params,

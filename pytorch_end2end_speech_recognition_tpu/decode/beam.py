@@ -89,7 +89,8 @@ class BeamSearchDecoder:
 
             # ---- initial beam state
             dec_state = model.decoder.init_state(B * K, T_enc, max_len)
-            lm_state = lm.init_state(B * K) if lm is not None else None
+            lm_state = (lm.init_state(B * K, max_len + 1)
+                        if lm is not None else None)
             r_init_b = jnp.cumsum(lp_blank, axis=1)                    # (B,T)
             r_state = jnp.stack(
                 [jnp.full((B, T_enc), NEG_INF), r_init_b], axis=-1

@@ -1,13 +1,15 @@
-"""RNN language model for shallow fusion and LM training.
+"""Language models for shallow fusion and LM training.
 
 Capability parity: the reference genre's `RNNLM` + `train_lm` loop
-(SURVEY.md §2a "RNN-LM", §3.4). LSTM LM over token sequences with the shared
-id conventions (sos/eos = 1). `step()` mirrors the decoder's flat-state
-interface so beam search reorders LM state with the same gather.
+(SURVEY.md §2a "RNN-LM", §3.4) plus the ESPnet-genre transformer LM
+alternative. Both share the id conventions (sos/eos = 1) and the same
+`init_state`/`step` interface as the attention decoders, so beam search
+reorders LM state with one gather regardless of LM kind.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -29,7 +31,8 @@ class RnnLm(nnx.Module):
             d = H
         self.proj = nnx.Linear(H, V, rngs=rngs)
 
-    def init_state(self, B: int) -> dict[str, jnp.ndarray]:
+    def init_state(self, B: int, max_len: int | None = None):
+        del max_len  # recurrent state is O(1) in decode length
         H = self.cfg.lm_dim
         L = len(self.cells)
         return {
@@ -73,6 +76,109 @@ class RnnLm(nnx.Module):
 
         _, logps = jax.lax.scan(scan_step, state, inputs.swapaxes(0, 1))
         return logps.swapaxes(0, 1)
+
+
+class TransformerLmBlock(nnx.Module):
+    """Pre-LN causal self-attention + FFN (no cross-attention)."""
+
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs):
+        D = cfg.lm_dim
+        F = cfg.lm_ffn_dim if cfg.lm_ffn_dim > 0 else 4 * D
+        self.heads = cfg.lm_heads
+        self.ln1 = nnx.LayerNorm(D, rngs=rngs)
+        self.wq = nnx.Linear(D, D, rngs=rngs)
+        self.wk = nnx.Linear(D, D, rngs=rngs)
+        self.wv = nnx.Linear(D, D, rngs=rngs)
+        self.wo = nnx.Linear(D, D, rngs=rngs)
+        self.ln2 = nnx.LayerNorm(D, rngs=rngs)
+        self.fc1 = nnx.Linear(D, F, rngs=rngs)
+        self.fc2 = nnx.Linear(F, D, rngs=rngs)
+
+    def qkv(self, x):
+        h = self.ln1(x)
+        return self.wq(h), self.wk(h), self.wv(h)
+
+    def run(self, x, q, k, v, mask):
+        from pytorch_end2end_speech_recognition_tpu.models.decoder_transformer import (  # noqa: E501
+            mha,
+        )
+
+        y, _ = mha(q, k, v, mask, self.heads)
+        x = x + self.wo(y)
+        return x + self.fc2(jax.nn.relu(self.fc1(self.ln2(x))))
+
+
+class TransformerLm(nnx.Module):
+    """Causal transformer LM with the RnnLm fusion interface
+    (KV-cache incremental `step`, parallel teacher-forced `__call__`)."""
+
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs):
+        V, D = cfg.vocab_size, cfg.lm_dim
+        self.cfg = cfg
+        self.embed = nnx.Embed(V, D, rngs=rngs)
+        self.blocks = nnx.List(
+            [TransformerLmBlock(cfg, rngs) for _ in range(cfg.lm_layers)]
+        )
+        self.ln_out = nnx.LayerNorm(D, rngs=rngs)
+        self.proj = nnx.Linear(D, V, rngs=rngs)
+
+    def _pe(self, T: int):
+        from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+            sinusoidal_pe,
+        )
+
+        return jnp.asarray(sinusoidal_pe(T, self.cfg.lm_dim))
+
+    def init_state(self, B: int, max_len: int | None = None):
+        if max_len is None:
+            raise ValueError("TransformerLm.init_state needs max_len")
+        L, D = len(self.blocks), self.cfg.lm_dim
+        return {
+            "k_cache": jnp.zeros((B, max_len, L, D), jnp.float32),
+            "v_cache": jnp.zeros((B, max_len, L, D), jnp.float32),
+            "pos": jnp.zeros((B,), jnp.int32),
+        }
+
+    def step(self, token, state):
+        B = token.shape[0]
+        U = state["k_cache"].shape[1]
+        D = self.cfg.lm_dim
+        pos = state["pos"][0]
+        x = (self.embed(token) * np.sqrt(D) + self._pe(U)[pos])[:, None, :]
+        kc, vc = state["k_cache"], state["v_cache"]
+        self_mask = (jnp.arange(U) <= pos)[None, None, None, :]
+        for li, blk in enumerate(self.blocks):
+            q, k_new, v_new = blk.qkv(x)
+            kc = kc.at[:, pos, li].set(k_new[:, 0])
+            vc = vc.at[:, pos, li].set(v_new[:, 0])
+            x = blk.run(x, q, kc[:, :, li], vc[:, :, li], self_mask)
+        logits = self.proj(self.ln_out(x))[:, 0]
+        return (
+            jax.nn.log_softmax(logits, axis=-1),
+            {"k_cache": kc, "v_cache": vc, "pos": state["pos"] + 1},
+        )
+
+    def __call__(self, tokens, token_lens):
+        """Teacher-forced LM forward: (B, U) -> log-probs (B, U+1, V)."""
+        B, U = tokens.shape
+        U1 = U + 1
+        sos = jnp.full((B, 1), SOS_EOS_ID, tokens.dtype)
+        inputs = jnp.concatenate([sos, tokens], axis=1)
+        D = self.cfg.lm_dim
+        x = self.embed(inputs) * np.sqrt(D) + self._pe(U1)
+        mask = jnp.tril(jnp.ones((U1, U1), bool))[None, None]
+        for blk in self.blocks:
+            q, k, v = blk.qkv(x)
+            x = blk.run(x, q, k, v, mask)
+        return jax.nn.log_softmax(self.proj(self.ln_out(x)), axis=-1)
+
+
+def build_lm(cfg: ModelConfig, rngs: nnx.Rngs):
+    if cfg.lm_type == "transformer":
+        return TransformerLm(cfg, rngs)
+    if cfg.lm_type == "lstm":
+        return RnnLm(cfg, rngs)
+    raise ValueError(f"unknown lm kind {cfg.lm_type}")
 
 
 def lm_loss(

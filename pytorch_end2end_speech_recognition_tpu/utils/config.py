@@ -78,10 +78,13 @@ class ModelConfig:
     vocab_size: int = 32             # set from tokenizer at build time
     ctc_weight: float = 0.3          # lambda in L = l*CTC + (1-l)*CE; 1.0 -> pure CTC
     label_smoothing: float = 0.1
-    # LM
+    # LM: 'lstm' (genre RNN-LM) | 'transformer'
+    lm_type: str = "lstm"
     lm_layers: int = 2
     lm_dim: int = 650
     lm_embed_dim: int = 256
+    lm_heads: int = 4                # transformer LM only
+    lm_ffn_dim: int = 0              # transformer LM FFN; 0 -> 4*lm_dim
     # numerics
     dtype: str = "bfloat16"          # compute dtype for matmuls
     param_dtype: str = "float32"

@@ -71,7 +71,7 @@ def _oracle_steps(model, enc_b, enc_len, lm=None, max_len=16):
 
     def lm_step(token, state):
         if state == "INIT":
-            state = lm.init_state(1)
+            state = lm.init_state(1, max_len)
         logp, new_state = lm.step(jnp.asarray([token], dtype=jnp.int32), state)
         return np.asarray(logp[0]), new_state
 
@@ -85,18 +85,24 @@ def _device_nbest(out, b, n):
     return [(toks[k, : lens[k]].tolist(), float(scores[k])) for k in range(n)]
 
 
-@pytest.mark.parametrize("ctc_w,lm_w,cov,decoder", [
-    (0.3, 0.0, 0.0, "lstm"), (0.0, 0.0, 0.0, "lstm"),
-    (0.5, 0.2, 0.0, "lstm"), (0.3, 0.0, 0.4, "lstm"),
-    (0.3, 0.0, 0.0, "transformer"), (0.5, 0.2, 0.0, "transformer")])
-def test_beam_matches_oracle(ctc_w, lm_w, cov, decoder, rng):
+@pytest.mark.parametrize("ctc_w,lm_w,cov,decoder,lm_type", [
+    (0.3, 0.0, 0.0, "lstm", "lstm"), (0.0, 0.0, 0.0, "lstm", "lstm"),
+    (0.5, 0.2, 0.0, "lstm", "lstm"), (0.3, 0.0, 0.4, "lstm", "lstm"),
+    (0.3, 0.0, 0.0, "transformer", "lstm"),
+    (0.5, 0.2, 0.0, "transformer", "lstm"),
+    (0.5, 0.2, 0.0, "lstm", "transformer")])
+def test_beam_matches_oracle(ctc_w, lm_w, cov, decoder, lm_type, rng):
     model, cfg = _tiny_model(decoder=decoder)
     lm = None
     if lm_w > 0:
+        from pytorch_end2end_speech_recognition_tpu.models.lm import build_lm
+
+        cfg.model.lm_type = lm_type
         cfg.model.lm_layers = 1
         cfg.model.lm_dim = 12
         cfg.model.lm_embed_dim = 8
-        lm = RnnLm(cfg.model, nnx.Rngs(1))
+        cfg.model.lm_heads = 2
+        lm = build_lm(cfg.model, nnx.Rngs(1))
     dcfg = DecodeConfig(beam_size=3, ctc_weight=ctc_w, lm_weight=lm_w,
                         pre_beam_k=6, nbest=3, coverage_penalty=cov)
     enc, enc_lens, ctc_logp = _enc_and_logp(model, rng)

@@ -142,3 +142,35 @@ def test_rnn_lm_forward_and_loss(rng):
     loss, count = lm_loss(lm, tokens, lens)
     assert float(loss) > 0
     assert int(count) == (3 + 1) + (1 + 1)  # targets + eos per row
+
+
+def test_transformer_lm_step_matches_parallel(rng):
+    from pytorch_end2end_speech_recognition_tpu.models.lm import (
+        TransformerLm,
+        lm_loss,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import (
+        ModelConfig,
+    )
+
+    cfg = ModelConfig(vocab_size=11, lm_type="transformer", lm_layers=2,
+                      lm_dim=16, lm_heads=2, lm_ffn_dim=32)
+    lm = TransformerLm(cfg, nnx.Rngs(0))
+    B, U = 2, 6
+    tokens = jnp.asarray(rng.integers(2, 11, (B, U)).astype(np.int32))
+    lens = jnp.asarray([U, U - 2], jnp.int32)
+    ref = lm(tokens, lens)                          # (B, U+1, V)
+    state = lm.init_state(B, U + 1)
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        SOS_EOS_ID,
+    )
+
+    inputs = jnp.concatenate(
+        [jnp.full((B, 1), SOS_EOS_ID, jnp.int32), tokens], axis=1)
+    for u in range(U + 1):
+        logp, state = lm.step(inputs[:, u], state)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(ref[:, u]),
+                                   atol=1e-4, rtol=1e-4)
+    # lm_loss is generic over LM kinds
+    loss, count = lm_loss(lm, tokens, lens)
+    assert np.isfinite(float(loss)) and int(count) == int(lens.sum()) + B
