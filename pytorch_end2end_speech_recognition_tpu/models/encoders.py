@@ -29,6 +29,11 @@ def _dt(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _rdt(cfg: ModelConfig):
+    """Residual-stream dtype (see ModelConfig.residual_dtype)."""
+    return jnp.bfloat16 if cfg.residual_dtype == "bfloat16" else jnp.float32
+
+
 def length_mask(lens: jnp.ndarray, T: int) -> jnp.ndarray:
     return jnp.arange(T)[None, :] < lens[:, None]
 
@@ -192,6 +197,7 @@ class ConvSubsample(nnx.Module):
         )
         f_out = ((n_mels + 1) // 2 + 1) // 2
         self.proj = nnx.Linear(f_out * d_model, d_model, dtype=dt, rngs=rngs)
+        self.rdt = _rdt(cfg)
 
     def __call__(self, x, lens):
         def mask4(h, l):
@@ -205,7 +211,7 @@ class ConvSubsample(nnx.Module):
         lens = (lens + 1) // 2
         h = mask4(h, lens)
         B, T, F, C = h.shape
-        h = self.proj(h.reshape(B, T, F * C)).astype(jnp.float32)
+        h = self.proj(h.reshape(B, T, F * C)).astype(self.rdt)
         return h, lens
 
 
@@ -291,6 +297,7 @@ class MhsaBlock(nnx.Module):
         self.rate = cfg.encoder_dropout
         self.cp_mode = cfg.cp_mode
         self.attn_impl = cfg.attn_impl
+        self.rdt = _rdt(cfg)
         self.mesh = mesh
         if self.cp_mode and relative:
             raise ValueError(
@@ -336,7 +343,7 @@ class MhsaBlock(nnx.Module):
                 qf.reshape(rs), kf.reshape(rs), vf.reshape(rs),
                 bias=bias, mask=attn_mask,
             ).reshape(B, T, D)
-        y = self.o(y.astype(_dt_of(self.q))).astype(jnp.float32)
+        y = self.o(y.astype(_dt_of(self.q))).astype(self.rdt)
         y = dropout(y, self.rate, rng, train)
         return x + y
 
@@ -354,9 +361,10 @@ class FfnBlock(nnx.Module):
         self.fc1 = nnx.Linear(D, cfg.encoder_ffn_dim, dtype=dt, rngs=rngs)
         self.fc2 = nnx.Linear(cfg.encoder_ffn_dim, D, dtype=dt, rngs=rngs)
         self.rate = cfg.encoder_dropout
+        self.rdt = _rdt(cfg)
 
     def __call__(self, x, train: bool = False, rng=None):
-        h = self.fc2(jax.nn.silu(self.fc1(self.ln(x)))).astype(jnp.float32)
+        h = self.fc2(jax.nn.silu(self.fc1(self.ln(x)))).astype(self.rdt)
         h = dropout(h, self.rate, rng, train)
         return x + self.scale * h
 
@@ -400,7 +408,7 @@ class TransformerEncoder(nnx.Module):
         x, lens = self.sub(x, lens)
         T = x.shape[1]
         if not self.relative:
-            x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2]))
+            x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2])).astype(x.dtype)
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
         biases = self.rel(T, dtype=_dt(self.cfg)) if self.rel else None
@@ -435,6 +443,7 @@ class ConvModule(nnx.Module):
         self.norm = nnx.LayerNorm(D, rngs=rngs)
         self.pw2 = nnx.Linear(D, D, dtype=dt, rngs=rngs)
         self.rate = cfg.encoder_dropout
+        self.rdt = _rdt(cfg)
 
     def __call__(self, x, mask, train: bool = False, rng=None):
         h = self.ln(x)
@@ -442,7 +451,7 @@ class ConvModule(nnx.Module):
         h = jnp.where(mask[..., None], h, 0.0)  # depthwise conv must not see pad
         h = self.dw(h)
         h = jax.nn.silu(self.norm(h.astype(jnp.float32)))
-        h = self.pw2(h).astype(jnp.float32)
+        h = self.pw2(h).astype(self.rdt)
         h = dropout(h, self.rate, rng, train)
         return x + h
 
@@ -465,7 +474,7 @@ class ConformerBlock(nnx.Module):
         x = self.mhsa(x, mask, train, ks[1], bias=bias)
         x = self.conv(x, mask, train, ks[2])
         x = self.ff2(x, train, ks[3])
-        return self.ln(x)
+        return self.ln(x).astype(x.dtype)  # keep the residual-stream dtype
 
 
 class ConformerEncoder(nnx.Module):

@@ -67,13 +67,16 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
             s = s + bias_ref[h].astype(jnp.float32)
         s = jnp.where(key_ok, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)                        # all-masked rows -> e = 0
-        den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-        p = (e / den).astype(v_ref.dtype)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p, v_ref[0, :, sl],
+        # unnormalized probs; 1/den folds into the (Tp, Dh) OUTPUT instead
+        # of a full (Tp, Tp) divide pass — the matmul saw bf16 p either way
+        e = jnp.exp(s - m).astype(v_ref.dtype)    # all-masked rows -> e = 0
+        den = jnp.maximum(
+            jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32), 1e-30)
+        o = jax.lax.dot_general(
+            e, v_ref[0, :, sl],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[0, :, sl] = (o / den).astype(o_ref.dtype)
 
 
 def _attention_fwd_pallas(q, k, v, bias, lens, heads: int):

@@ -88,6 +88,10 @@ class ModelConfig:
     # numerics
     dtype: str = "bfloat16"          # compute dtype for matmuls
     param_dtype: str = "float32"
+    # encoder residual-stream dtype: 'float32' (default, training-safe) or
+    # 'bfloat16' (halves the VPU/HBM traffic between matmuls; standard for
+    # TPU inference)
+    residual_dtype: str = "float32"
     # kernel implementations: 'xla' | 'pallas'
     ctc_impl: str = "xla"
     lstm_impl: str = "xla"
