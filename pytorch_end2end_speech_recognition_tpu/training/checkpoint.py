@@ -8,10 +8,8 @@ stored alongside for provenance.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

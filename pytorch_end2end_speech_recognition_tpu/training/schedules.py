@@ -54,4 +54,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {cfg.optimizer}")
     chain = [optax.clip_by_global_norm(cfg.grad_clip), opt]
     # host-driven plateau decay multiplies a mutable scalar into updates
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        # k micro-batches per optimizer update (large effective batch on a
+        # fixed memory budget); params change only every k-th step
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

@@ -136,6 +136,7 @@ class TrainConfig:
     plateau_factor: float = 0.5      # host-driven LR multiplier on plateau
     weight_decay: float = 1e-6
     grad_clip: float = 5.0
+    grad_accum_steps: int = 1        # micro-batches per optimizer update
     scheduled_sampling: float = 0.0  # prob of feeding model prediction in decoder
     seed: int = 0
     log_every: int = 50

@@ -175,3 +175,29 @@ def test_transcribe_cli(trained, digits_corpus, tmp_path, capsys):
                      "--streaming", "--chunk-s", "1.0", utt.audio])
     rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(rec2["text"], str) and rec2["text"]
+
+
+def test_grad_accumulation(digits_corpus, tmp_path):
+    """grad_accum_steps=2: params change only on every 2nd step, and the
+    loss still improves (optax.MultiSteps wiring through the solver)."""
+    cfg = _cfg(tmp_path)
+    cfg.train.grad_accum_steps = 2
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    loader = BucketedLoader(utts, tok, cfg.data)
+    solver = Solver(cfg, tok)
+    p0 = np.concatenate([
+        np.asarray(v.value if hasattr(v, "value") else v).ravel()[:4]
+        for v in jax.tree_util.tree_leaves(solver.params)])
+    solver.fit(loader, steps=1)
+    p1 = np.concatenate([
+        np.asarray(v.value if hasattr(v, "value") else v).ravel()[:4]
+        for v in jax.tree_util.tree_leaves(solver.params)])
+    np.testing.assert_array_equal(p0, p1)  # mid-accumulation: no update yet
+    solver.fit(loader, steps=2)
+    p2 = np.concatenate([
+        np.asarray(v.value if hasattr(v, "value") else v).ravel()[:4]
+        for v in jax.tree_util.tree_leaves(solver.params)])
+    assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd micro-step
+    hist = solver.fit(loader, steps=120)
+    assert hist["loss"][-1] < hist["loss"][0]
