@@ -150,8 +150,15 @@ class Frontend:
             from pytorch_end2end_speech_recognition_tpu.ops.frontend_pallas import (
                 logmel_pallas,
             )
+            cos_b, sin_b = self.cos_b, self.sin_b
+            if self.cfg.dft_dtype == "bfloat16":
+                # halves the kernel's streamed-audio HBM traffic; the DFT
+                # matmuls accumulate in f32 (preferred_element_type)
+                x = x.astype(jnp.bfloat16)
+                cos_b = cos_b.astype(jnp.bfloat16)
+                sin_b = sin_b.astype(jnp.bfloat16)
             feats = logmel_pallas(
-                x, self.cos_b, self.sin_b, self.mel_b, self.hop, T
+                x, cos_b, sin_b, self.mel_b, self.hop, T
             )
         else:
             # frames via gather: idx (T, win)

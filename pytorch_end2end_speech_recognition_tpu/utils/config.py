@@ -38,6 +38,9 @@ class FrontendConfig:
     time_mask_ratio: float = 0.05  # cap time mask width at ratio * T
     # implementation: 'jnp' (pure XLA) or 'pallas' (fused TPU kernel)
     impl: str = "jnp"
+    # DFT operand dtype for the pallas kernel: 'float32' | 'bfloat16'
+    # (bf16 streams half the audio bytes; accumulation stays f32)
+    dft_dtype: str = "float32"
 
     @property
     def win_length(self) -> int:
