@@ -63,7 +63,7 @@ def main():
     cfg = _flagship_cfg(small=not on_tpu)
 
     rng = np.random.default_rng(0)
-    B, sec = 8, 30.0
+    B, sec = (32 if on_tpu else 8), 30.0  # match bench.py's batch on TPU
     sr = cfg.frontend.sample_rate
     Ts = int(sec * sr)
     audio = jax.device_put(jnp.asarray(

@@ -272,9 +272,10 @@ def fused_attention(q, k, v, bias, lens, heads: int):
     to q, k, v and bias).
     """
     T = q.shape[1]
-    # beyond ~1k frames the resident (T, T) f32 scores + bias overflow the
-    # VMEM budget of this whole-row kernel; long audio uses XLA/CP paths
-    if jax.default_backend() not in ("cpu",) and T <= 1024:
+    # beyond ~768 frames the resident (T, T) f32 scores + whole bias block
+    # overflow the VMEM budget of this whole-row kernel (same limit as the
+    # backward); long audio uses the XLA/CP paths
+    if jax.default_backend() not in ("cpu",) and T <= 768:
         return _attention_fwd_pallas(q, k, v, bias, lens, heads)
     return _attention_xla(q, k, v, bias, lens, heads)
 
