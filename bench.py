@@ -25,6 +25,11 @@ ITERS = 10
 
 
 def main():
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

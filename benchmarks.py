@@ -36,6 +36,11 @@ def emit(name, value, unit, **extra):
 
 
 def main():
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

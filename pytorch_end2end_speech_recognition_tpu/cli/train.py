@@ -40,10 +40,12 @@ def load_config(spec: str):
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
         maybe_force_cpu,
     )
 
     maybe_force_cpu()
+    enable_compilation_cache()
     from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
     from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (

@@ -134,10 +134,12 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
     args = ap.parse_args(argv)
     from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
         maybe_force_cpu,
     )
 
     maybe_force_cpu()
+    enable_compilation_cache()
 
     from pytorch_end2end_speech_recognition_tpu.cli.train import load_config
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest

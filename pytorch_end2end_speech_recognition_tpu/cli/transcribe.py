@@ -36,10 +36,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
         maybe_force_cpu,
     )
 
     maybe_force_cpu()
+    enable_compilation_cache()
 
     import numpy as np
 

@@ -1,4 +1,4 @@
-"""Backend selection helper.
+"""Backend selection + compilation-cache helpers.
 
 This machine image force-registers the TPU backend via sitecustomize and
 overrides JAX_PLATFORMS, so `ASR_TPU_FORCE_CPU=1` (or --cpu flags) lets CLI
@@ -15,3 +15,28 @@ def maybe_force_cpu(flag: bool = False) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Persist XLA executables across processes.
+
+    Large jitted graphs (the 12-layer Conformer train step) take minutes to
+    compile on a small host; the genre pays an analogous warmup through
+    cuDNN benchmarking but per-process. Every CLI calls this at startup so
+    the second invocation of any entry point starts in seconds. Honors an
+    existing JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
+    """
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache",
+                            "asr_tpu_xla_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, not just >1s compiles: beam/eval graphs are many
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization; never fail startup on it
+        return ""
+    return path

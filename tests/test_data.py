@@ -114,3 +114,30 @@ def test_config_roundtrip_and_override():
     assert cfg2.model.encoder == "conformer"
     assert cfg2.train.lr == 0.01
     assert cfg2.frontend.spec_augment is False
+
+
+def test_compilation_cache_roundtrip(tmp_path):
+    """enable_compilation_cache persists an executable a second process
+    (simulated by clearing jax's in-memory cache) can reload."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
+    )
+
+    path = enable_compilation_cache(str(tmp_path / "xla_cache"))
+    assert path
+
+    @jax.jit
+    def f(x):
+        return (x * 2.0 + 1.0).sum()
+
+    out = f(jnp.arange(8.0))
+    assert float(out) == 64.0
+    import os
+
+    files = []
+    for root, _, names in os.walk(path):
+        files += [os.path.join(root, n) for n in names]
+    assert files, "persistent compilation cache wrote no entries"
