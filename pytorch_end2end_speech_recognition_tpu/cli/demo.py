@@ -23,10 +23,13 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
-    if args.cpu:
-        import jax
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
+        maybe_force_cpu,
+    )
 
-        jax.config.update("jax_platforms", "cpu")
+    maybe_force_cpu(args.cpu)
+    enable_compilation_cache()
 
     from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest

@@ -5,11 +5,25 @@ Capability parity: the reference genre's `python main.py --config x.yaml`
 
     python -m pytorch_end2end_speech_recognition_tpu.cli.train \
         --config configs/an4_ctc.json [--set train.lr=1e-3 ...] [--resume]
+
+Multi-host (the genre's torch.distributed.launch, SURVEY.md §3.3): run the
+SAME command on every host with either `--distributed` (TPU pods: coordinator
+auto-discovered from the cluster env) or explicit rendezvous flags /
+ASR_COORDINATOR_ADDRESS, ASR_NUM_PROCESSES, ASR_PROCESS_ID env vars:
+
+    python -m ...cli.train --config rung5.json --distributed
+    # or, on generic hosts:
+    ASR_COORDINATOR_ADDRESS=host0:1234 ASR_NUM_PROCESSES=2 \
+        ASR_PROCESS_ID=$RANK python -m ...cli.train --config rung5.json
+
+Each host then feeds its shard of every global batch (BucketedLoader
+shard_index/num_shards) and dev WER is reduced across hosts.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -22,6 +36,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", action="store_true",
                     help="resume from <checkpoint_dir>/last")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() with "
+                         "cluster auto-detection (TPU pods)")
+    ap.add_argument("--coordinator",
+                    default=os.environ.get("ASR_COORDINATOR_ADDRESS"),
+                    help="host:port of process 0 (generic multi-host)")
+    ap.add_argument("--num-processes", type=int,
+                    default=int(os.environ.get("ASR_NUM_PROCESSES", 0)) or None)
+    ap.add_argument("--process-id", type=int,
+                    default=int(os.environ.get("ASR_PROCESS_ID", -1))
+                    if os.environ.get("ASR_PROCESS_ID") else None)
     return ap
 
 
@@ -46,6 +71,15 @@ def main(argv=None):
 
     maybe_force_cpu()
     enable_compilation_cache()
+    from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
+        host_shard_info,
+        initialize_multihost,
+        make_mesh,
+    )
+
+    if args.distributed or args.coordinator:
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
     from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
     from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
@@ -63,18 +97,28 @@ def main(argv=None):
         tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts])
         if cfg.data.tokenizer_path:
             tok.save(cfg.data.tokenizer_path)
+    shard_index, num_shards = host_shard_info()
     mesh = None
-    if cfg.train.dp * cfg.train.tp > 1:
-        from pytorch_end2end_speech_recognition_tpu.parallel.mesh import make_mesh
+    if num_shards > 1 or cfg.train.dp * cfg.train.tp > 1:
+        import jax
 
-        mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
+        tp = cfg.train.tp
+        dp = cfg.train.dp
+        if dp * tp != len(jax.devices()):
+            dp = len(jax.devices()) // tp  # default: every global device
+            print(f"[train] mesh defaulted to dp={dp} tp={tp} over "
+                  f"{len(jax.devices())} devices / {num_shards} hosts",
+                  file=sys.stderr)
+        mesh = make_mesh(dp=dp, tp=tp)
     loader = BucketedLoader(train_utts, tok, cfg.data,
-                            sample_rate=cfg.frontend.sample_rate)
+                            sample_rate=cfg.frontend.sample_rate,
+                            shard_index=shard_index, num_shards=num_shards)
     dev_loader = None
     if cfg.data.dev_manifest:
         dev_loader = BucketedLoader(
             read_manifest(cfg.data.dev_manifest), tok, cfg.data,
             sample_rate=cfg.frontend.sample_rate, train=False,
+            shard_index=shard_index, num_shards=num_shards,
         )
     solver = Solver(cfg, tok, mesh=mesh)
     if args.resume:

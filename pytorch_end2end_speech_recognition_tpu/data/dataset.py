@@ -185,6 +185,22 @@ class BucketedLoader:
             idxs = idxs[self.shard_index :: self.num_shards]
             for s in range(0, len(idxs), b.batch_size):
                 jobs.append((b, list(idxs[s : s + b.batch_size])))
+        if self.num_shards > 1:
+            # Hosts execute collectives in lockstep, so every shard must
+            # yield the SAME number of batches per epoch. Each host can
+            # compute all shards' counts locally (it holds the full index
+            # lists + the shared shuffle seed); pad short shards with
+            # empty batches (all rows masked by audio_lens == 0).
+            max_jobs = max(
+                sum(
+                    -(-len(b.utt_indices[s :: self.num_shards])
+                      // b.batch_size)
+                    for b in self.buckets
+                )
+                for s in range(self.num_shards)
+            )
+            while len(jobs) < max_jobs:
+                jobs.append((self.buckets[0], []))
         if self.train and self.cfg.shuffle:
             rng.shuffle(jobs)  # type: ignore[arg-type]
         jobs = jobs[start_batch:]

@@ -113,8 +113,22 @@ def shard_train_state(mesh, params, opt_state):
 
 
 def shard_batch(mesh, arrays):
-    """Shard batch arrays over the 'data' axis (leading dim)."""
+    """Shard batch arrays over the 'data' axis (leading dim).
+
+    Single-process: a plain device_put split over the mesh. Multi-process
+    (the genre's DDP + DistributedSampler, SURVEY.md §3.3): each host holds
+    only ITS shard of the global batch (rows from its BucketedLoader
+    shard_index), and `make_array_from_process_local_data` assembles the
+    global array — host rows land on host-local devices, so no DCN traffic
+    for input feed."""
+    import numpy as np
+
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_process_local_data(sh, np.asarray(a))
+            for a in arrays
+        )
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 

@@ -70,8 +70,14 @@ class Solver:
         self._key = jax.random.PRNGKey(cfg.train.seed)
         self.cursor_epoch = 0        # loader position for exact resume
         self.cursor_batch = 0
-        self.logger = MetricsLogger(cfg.train.metrics_path,
-                                    tensorboard_dir=cfg.train.tensorboard_dir)
+        # multi-host: only process 0 writes metrics/tensorboard (the genre's
+        # rank-0 logging); all hosts still participate in collectives/ckpts
+        is_proc0 = jax.process_index() == 0
+        self.logger = MetricsLogger(
+            cfg.train.metrics_path if is_proc0 else None,
+            echo=is_proc0,
+            tensorboard_dir=cfg.train.tensorboard_dir if is_proc0 else None,
+        )
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
@@ -226,26 +232,51 @@ class Solver:
         return history
 
     # ------------------------------------------------------------ evaluation
+    def _local_rows(self, arr) -> np.ndarray:
+        """Host-local rows of a batch-dim-sharded global array, in the order
+        this host's loader produced them. Single-process: the whole array."""
+        if self.mesh is None or jax.process_count() == 1:
+            return np.asarray(arr)
+        rows: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:  # dedup TP replicas by row offset
+            start = s.index[0].start or 0
+            if start not in rows:
+                rows[start] = np.asarray(s.data)
+        return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
     def evaluate(self, loader: BucketedLoader) -> float:
+        """Greedy dev WER. Multi-host: each host scores its loader shard and
+        the error counts are summed across processes so every host sees the
+        same WER (keeps best-ckpt/plateau decisions in lockstep)."""
         stats = ErrorStats()
         for batch in loader.epoch(0):
             arrays = self._put(batch)
             hyp, hyp_lens = self._eval_step(
                 self.params, self.rest, arrays[0], arrays[1]
             )
-            hyp = np.asarray(hyp)
-            hyp_lens = np.asarray(hyp_lens)
+            hyp = self._local_rows(hyp)
+            hyp_lens = self._local_rows(hyp_lens)
             for i in range(len(batch.ids)):
                 if batch.audio_lens[i] == 0:
                     continue
                 text = self.tokenizer.decode(hyp[i, : hyp_lens[i]])
                 stats.update(batch.texts[i].split(), text.split())
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            tot = np.asarray(multihost_utils.process_allgather(
+                np.asarray([stats.errors, stats.tokens, stats.sentences,
+                            stats.wrong_sentences], np.int64)
+            )).reshape(-1, 4).sum(axis=0)
+            stats = ErrorStats(*map(int, tot))
         return stats.rate
 
     def _log_attention(self, batch: Batch) -> None:
         """Dump one utterance's decoder attention heatmap to tensorboard
-        (no-op without a decoder or tensorboard_dir)."""
-        if self.model.decoder is None or self.logger._tb is None:
+        (no-op without a decoder or tensorboard_dir; skipped multi-host —
+        the eager encode below can't run on non-addressable global arrays)."""
+        if (self.model.decoder is None or self.logger._tb is None
+                or jax.process_count() > 1):
             return
         model = self.merged_model()
         arrays = self._put(batch)

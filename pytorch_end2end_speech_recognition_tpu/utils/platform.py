@@ -22,9 +22,9 @@ def enable_compilation_cache(path: str | None = None) -> str:
 
     Large jitted graphs (the 12-layer Conformer train step) take minutes to
     compile on a small host; the genre pays an analogous warmup through
-    cuDNN benchmarking but per-process. Every CLI calls this at startup so
-    the second invocation of any entry point starts in seconds. Honors an
-    existing JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
+    cuDNN benchmarking but per-process. Every jit-using CLI calls this at
+    startup so the second invocation of any entry point starts in seconds.
+    Honors an existing JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
     """
     path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or os.path.join(os.path.expanduser("~"), ".cache",
@@ -34,9 +34,14 @@ def enable_compilation_cache(path: str | None = None) -> str:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything, not just >1s compiles: beam/eval graphs are many
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # keep a small floor so trivial sub-second compiles don't grow the
+        # shared unbounded cache dir; beam/eval graphs all exceed this
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # cache is an optimization; never fail startup on it
+    except Exception as e:  # cache is an optimization; never fail startup
+        import sys
+
+        print(f"warning: compilation cache disabled ({path}): {e!r}",
+              file=sys.stderr)
         return ""
     return path

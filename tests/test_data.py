@@ -117,8 +117,9 @@ def test_config_roundtrip_and_override():
 
 
 def test_compilation_cache_roundtrip(tmp_path):
-    """enable_compilation_cache persists an executable a second process
-    (simulated by clearing jax's in-memory cache) can reload."""
+    """enable_compilation_cache persists an executable that a second process
+    (simulated by jax.clear_caches()) reloads: the re-trace after clearing
+    must HIT the persistent cache, not recompile."""
     import jax
     import jax.numpy as jnp
 
@@ -128,16 +129,35 @@ def test_compilation_cache_roundtrip(tmp_path):
 
     path = enable_compilation_cache(str(tmp_path / "xla_cache"))
     assert path
+    # floor below any real compile so this tiny test graph is persisted too
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     @jax.jit
     def f(x):
         return (x * 2.0 + 1.0).sum()
 
-    out = f(jnp.arange(8.0))
-    assert float(out) == 64.0
+    assert float(f(jnp.arange(8.0))) == 64.0
     import os
 
     files = []
     for root, _, names in os.walk(path):
         files += [os.path.join(root, n) for n in names]
     assert files, "persistent compilation cache wrote no entries"
+
+    # "second process": drop every in-memory executable, re-jit, and count
+    # persistent-cache hits via jax's own counter.
+    jax.clear_caches()
+    from jax._src import monitoring
+
+    events = []
+    monitoring.register_event_listener(lambda e, **kw: events.append(e))
+
+    @jax.jit
+    def g(x):
+        return (x * 2.0 + 1.0).sum()
+
+    assert float(g(jnp.arange(8.0))) == 64.0
+    assert "/jax/compilation_cache/cache_hits" in events, (
+        f"re-trace after clear_caches did not hit the persistent cache "
+        f"(events: {sorted(set(events))})"
+    )

@@ -39,7 +39,7 @@ def trained(tmp_path_factory, digits_corpus):
     tok = CharTokenizer([u.text for u in utts])
     loader = BucketedLoader(utts, tok, cfg.data)
     solver = Solver(cfg, tok)
-    solver.fit(loader, steps=500)
+    solver.fit(loader, steps=400)  # enough to overfit digits on CPU
     return cfg, tok, loader, solver
 
 
@@ -120,7 +120,7 @@ def test_hybrid_attention_training_steps(digits_corpus, tmp_path):
     tok = CharTokenizer([u.text for u in utts])
     loader = BucketedLoader(utts, tok, cfg.data)
     solver = Solver(cfg, tok)
-    hist = solver.fit(loader, steps=100)
+    hist = solver.fit(loader, steps=60)
     assert hist["loss"][-1] < hist["loss"][0] * 1.05
 
 
@@ -137,7 +137,7 @@ def test_hybrid_transformer_decoder_training_steps(digits_corpus, tmp_path):
     tok = CharTokenizer([u.text for u in utts])
     loader = BucketedLoader(utts, tok, cfg.data)
     solver = Solver(cfg, tok)
-    hist = solver.fit(loader, steps=100)
+    hist = solver.fit(loader, steps=60)
     assert hist["loss"][-1] < hist["loss"][0] * 1.05
 
 
