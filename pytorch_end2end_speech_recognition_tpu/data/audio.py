@@ -95,7 +95,18 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return resample_poly(x, sr_out // g, sr_in // g).astype(np.float32)
 
 
+def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Container-sniffed decode: WAV or FLAC -> (float32 mono, sr)."""
+    with open(str(path), "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from pytorch_end2end_speech_recognition_tpu.data.flac import read_flac
+
+        return read_flac(path)
+    return read_wav(path)
+
+
 def load_audio(path: str | Path, target_sr: int = 16000) -> np.ndarray:
     """Read + resample to target_sr; the loader-facing entry point."""
-    x, sr = read_wav(path)
+    x, sr = read_audio(path)
     return resample(x, sr, target_sr)

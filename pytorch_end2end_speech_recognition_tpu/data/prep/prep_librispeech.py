@@ -8,9 +8,9 @@ network egress here):
         --root /data/LibriSpeech --splits train-clean-100 dev-clean test-clean \
         --out data/librispeech
 
-LibriSpeech ships FLAC; this environment has no FLAC decoder, so either
-pre-convert to wav (`--ext wav`) or install a decoder and point --ext flac
-at your own loader. The manifest stores whatever path exists.
+LibriSpeech ships FLAC; `data/flac.py` (and the C++ fast path in `native/`)
+decodes it directly — `--ext flac` is the default and durations are exact
+(read from each file's STREAMINFO header, no decode needed).
 """
 
 from __future__ import annotations
@@ -38,8 +38,6 @@ def prep_split(root: Path, split: str, out: Path, ext: str) -> int:
             audio = trans.parent / f"{uid}.{ext}"
             if not audio.exists():
                 continue
-            # LibriSpeech FLAC duration needs decode; estimate from file size
-            # for bucketing (refined at load time), exact for wav.
             if ext == "wav":
                 from pytorch_end2end_speech_recognition_tpu.data.audio import (
                     read_wav,
@@ -48,7 +46,12 @@ def prep_split(root: Path, split: str, out: Path, ext: str) -> int:
                 x, sr = read_wav(audio)
                 dur = len(x) / sr
             else:
-                dur = audio.stat().st_size / (SAMPLE_RATE * 0.6)  # ~flac ratio
+                # exact duration from the FLAC STREAMINFO header (no decode)
+                from pytorch_end2end_speech_recognition_tpu.data.flac import (
+                    flac_info,
+                )
+
+                dur = flac_info(audio).duration_s
             utts.append(Utterance(id=uid, audio=str(audio),
                                   duration_s=dur, text=text.strip()))
     write_manifest(out, utts)
@@ -61,7 +64,7 @@ def main(argv=None):
     ap.add_argument("--splits", nargs="+",
                     default=["train-clean-100", "dev-clean", "test-clean"])
     ap.add_argument("--out", required=True)
-    ap.add_argument("--ext", default="wav", choices=["wav", "flac"])
+    ap.add_argument("--ext", default="flac", choices=["wav", "flac"])
     args = ap.parse_args(argv)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

@@ -56,6 +56,16 @@ def get_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.asr_read_flac.restype = ctypes.c_long
+        lib.asr_read_flac.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.asr_read_audio.restype = ctypes.c_long
+        lib.asr_read_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.asr_load_batch.restype = ctypes.c_long
         lib.asr_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
@@ -77,17 +87,31 @@ def get_lib():
 
 def read_wav_native(path: str, max_samples: int = 16000 * 120):
     """(samples float32, sr) via C++; raises RuntimeError if unavailable."""
+    return _read_native("asr_read_wav", path, max_samples)
+
+
+def read_flac_native(path: str, max_samples: int = 16000 * 120):
+    """(samples float32, sr) via the C++ FLAC decoder (asrnative.cpp)."""
+    return _read_native("asr_read_flac", path, max_samples)
+
+
+def read_audio_native(path: str, max_samples: int = 16000 * 120):
+    """(samples float32, sr): C++ container-sniffed WAV/FLAC decode."""
+    return _read_native("asr_read_audio", path, max_samples)
+
+
+def _read_native(fn_name: str, path: str, max_samples: int):
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
     out = np.empty(max_samples, np.float32)
     sr = ctypes.c_int(0)
-    n = lib.asr_read_wav(
+    n = getattr(lib, fn_name)(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_samples, ctypes.byref(sr),
     )
     if n < 0:
-        raise ValueError(f"{path}: native WAV decode failed")
+        raise ValueError(f"{path}: native decode failed ({fn_name})")
     return out[:n].copy(), sr.value
 
 

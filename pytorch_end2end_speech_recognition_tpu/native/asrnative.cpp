@@ -102,6 +102,342 @@ long asr_read_wav(const char* path, float* out, long max_samples,
   return n_frames;
 }
 
+}  // extern "C" (reopened below; a namespace cannot sit inside a linkage block)
+
+// ---------------------------------------------------------------- FLAC
+// From-scratch FLAC decoder (the LibriSpeech profile and beyond: CONSTANT /
+// VERBATIM / FIXED(0-4) / LPC(1-32) subframes, rice + rice2 residuals with
+// escape codes, independent + left/right/mid-side stereo, wasted bits,
+// CRC-8/CRC-16 verification). Replaces the reference genre's libsndfile/sox
+// FLAC path (SURVEY.md §2a "Audio I/O"; VERDICT r1 missing item 3). The
+// Python oracle for this code is data/flac.py (round-trip tested).
+
+namespace flacdec {
+
+struct BitRd {
+  const uint8_t* d;
+  size_t size;      // bytes
+  size_t pos = 0;   // bits
+  bool ok = true;
+
+  uint64_t read(int n) {
+    if (n == 0) return 0;
+    size_t end = pos + n;
+    if (end > size * 8) { ok = false; return 0; }
+    size_t first = pos >> 3, last = (end - 1) >> 3;
+    uint64_t v = 0;
+    for (size_t i = first; i <= last; ++i) v = (v << 8) | d[i];
+    v >>= (last + 1) * 8 - end;
+    pos = end;
+    if (n < 64) v &= (uint64_t(1) << n) - 1;
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read(n);
+    if (n > 0 && (v >> (n - 1))) return int64_t(v) - (int64_t(1) << n);
+    return int64_t(v);
+  }
+
+  long read_unary() {
+    long q = 0;
+    while (true) {
+      if (pos >= size * 8) { ok = false; return 0; }
+      size_t byte = pos >> 3;
+      int rem = 8 - int(pos & 7);
+      uint8_t window = d[byte] & ((1u << rem) - 1);
+      if (window) {
+        // bit_length(window) = 32 - clz(window); leading zeros in window:
+        int lead = rem - (32 - __builtin_clz((unsigned)window));
+        pos += lead + 1;
+        return q + lead;
+      }
+      q += rem;
+      pos += rem;
+    }
+  }
+
+  uint64_t read_utf8() {
+    uint64_t b0 = read(8);
+    if (b0 < 0x80) return b0;
+    int n_extra = 0;
+    for (uint64_t mask = 0x40; b0 & mask; mask >>= 1) ++n_extra;
+    if (n_extra == 0 || n_extra > 6) { ok = false; return 0; }
+    uint64_t v = b0 & ((uint64_t(1) << (6 - n_extra)) - 1);
+    for (int i = 0; i < n_extra; ++i) {
+      uint64_t b = read(8);
+      if ((b & 0xC0) != 0x80) { ok = false; return 0; }
+      v = (v << 6) | (b & 0x3F);
+    }
+    return v;
+  }
+
+  void align() { pos = (pos + 7) & ~size_t(7); }
+  size_t byte_pos() const { return pos >> 3; }
+};
+
+inline uint8_t crc8(const uint8_t* d, size_t n) {
+  static uint8_t tbl[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; ++b) {
+      uint8_t c = uint8_t(b);
+      for (int i = 0; i < 8; ++i) c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+      tbl[b] = c;
+    }
+    init = true;
+  }
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) c = tbl[c ^ d[i]];
+  return c;
+}
+
+inline uint16_t crc16(const uint8_t* d, size_t n) {
+  static uint16_t tbl[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; ++b) {
+      uint16_t c = uint16_t(b << 8);
+      for (int i = 0; i < 8; ++i)
+        c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
+      tbl[b] = c;
+    }
+    init = true;
+  }
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i)
+    c = uint16_t(tbl[((c >> 8) ^ d[i]) & 0xFF] ^ uint16_t(c << 8));
+  return c;
+}
+
+static bool decode_residual(BitRd& br, long blocksize, int order,
+                            int64_t* out) {
+  int method = int(br.read(2));
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = (1u << plen) - 1;
+  int porder = int(br.read(4));
+  long n_parts = 1L << porder;
+  if (blocksize % n_parts) return false;
+  long w = 0;
+  for (long p = 0; p < n_parts; ++p) {
+    long n = (blocksize >> porder) - (p == 0 ? order : 0);
+    uint32_t k = uint32_t(br.read(plen));
+    if (k == escape) {
+      int raw = int(br.read(5));
+      for (long i = 0; i < n; ++i)
+        out[w + i] = raw ? br.read_signed(raw) : 0;
+    } else {
+      for (long i = 0; i < n; ++i) {
+        uint64_t q = uint64_t(br.read_unary());
+        uint64_t u = (q << k) | br.read(k);
+        out[w + i] = int64_t(u >> 1) ^ -int64_t(u & 1);
+      }
+    }
+    w += n;
+    if (!br.ok) return false;
+  }
+  return true;
+}
+
+// decode one subframe into x[0..blocksize)
+static bool decode_subframe(BitRd& br, long blocksize, int bps, int64_t* x) {
+  if (br.read(1)) return false;  // padding bit must be 0
+  int stype = int(br.read(6));
+  int wasted = 0;
+  if (br.read(1)) wasted = int(br.read_unary()) + 1;
+  int ebps = bps - wasted;
+  if (ebps <= 0 || ebps > 33) return false;
+  if (stype == 0) {  // CONSTANT
+    int64_t v = br.read_signed(ebps);
+    for (long i = 0; i < blocksize; ++i) x[i] = v;
+  } else if (stype == 1) {  // VERBATIM
+    for (long i = 0; i < blocksize; ++i) x[i] = br.read_signed(ebps);
+  } else if (stype >= 8 && stype <= 12) {  // FIXED
+    int order = stype - 8;
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(ebps);
+    if (!decode_residual(br, blocksize, order, x + order)) return false;
+    switch (order) {  // in-place prediction restore
+      case 0: break;
+      case 1:
+        for (long i = 1; i < blocksize; ++i) x[i] += x[i - 1];
+        break;
+      case 2:
+        for (long i = 2; i < blocksize; ++i) x[i] += 2 * x[i - 1] - x[i - 2];
+        break;
+      case 3:
+        for (long i = 3; i < blocksize; ++i)
+          x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+        break;
+      case 4:
+        for (long i = 4; i < blocksize; ++i)
+          x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4];
+        break;
+    }
+  } else if (stype >= 32) {  // LPC
+    int order = (stype & 31) + 1;
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(ebps);
+    int prec = int(br.read(4)) + 1;
+    if (prec == 16) return false;  // 0b1111 invalid
+    int shift = int(br.read_signed(5));
+    if (shift < 0) return false;
+    int64_t coef[32];
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(prec);
+    if (!decode_residual(br, blocksize, order, x + order)) return false;
+    for (long i = order; i < blocksize; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coef[j] * x[i - 1 - j];
+      x[i] += pred >> shift;
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (long i = 0; i < blocksize; ++i) x[i] <<= wasted;
+  return br.ok;
+}
+
+struct StreamInfo {
+  uint32_t sample_rate = 0;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+};
+
+static const long kBlocksizes[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                                     256, 512, 1024, 2048, 4096, 8192,
+                                     16384, 32768};
+
+}  // namespace flacdec
+
+extern "C" {
+
+// Decode a FLAC file to float32 mono (mean downmix) in [-1, 1].
+// Returns sample count (clipped to max_samples) or -1 on error.
+long asr_read_flac(const char* path, float* out, long max_samples,
+                   int* sr_out) {
+  using namespace flacdec;
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) return -1;
+  std::vector<uint8_t> data((size_t)f.tellg());
+  f.seekg(0);
+  f.read(reinterpret_cast<char*>(data.data()), data.size());
+  if (data.size() < 42 || std::memcmp(data.data(), "fLaC", 4)) return -1;
+
+  StreamInfo si;
+  size_t pos = 4;
+  bool have_si = false;
+  while (pos + 4 <= data.size()) {
+    bool last = data[pos] & 0x80;
+    int btype = data[pos] & 0x7F;
+    size_t size = (size_t(data[pos + 1]) << 16) | (size_t(data[pos + 2]) << 8) |
+                  data[pos + 3];
+    if (btype == 0 && size >= 34) {
+      BitRd br{data.data() + pos + 4, size};
+      br.read(16); br.read(16); br.read(24); br.read(24);
+      si.sample_rate = uint32_t(br.read(20));
+      si.channels = int(br.read(3)) + 1;
+      si.bps = int(br.read(5)) + 1;
+      si.total_samples = br.read(36);
+      have_si = br.ok;
+    }
+    pos += 4 + size;
+    if (last) break;
+  }
+  if (!have_si || si.sample_rate == 0) return -1;
+  *sr_out = int(si.sample_rate);
+
+  const double scale = double(int64_t(1) << (si.bps - 1));
+  long written = 0;
+  std::vector<int64_t> ch0, ch1;
+  while (pos + 2 <= data.size() && written < max_samples &&
+         (si.total_samples == 0 || uint64_t(written) < si.total_samples)) {
+    BitRd br{data.data(), data.size()};
+    br.pos = pos * 8;
+    if (br.read(14) != 0x3FFE) return -1;
+    if (br.read(1)) return -1;
+    br.read(1);  // blocking strategy
+    int bs_code = int(br.read(4));
+    int sr_code = int(br.read(4));
+    int ch_code = int(br.read(4));
+    int ss_code = int(br.read(3));
+    if (br.read(1)) return -1;
+    br.read_utf8();
+    long blocksize;
+    if (bs_code == 0) return -1;
+    else if (bs_code == 6) blocksize = long(br.read(8)) + 1;
+    else if (bs_code == 7) blocksize = long(br.read(16)) + 1;
+    else blocksize = kBlocksizes[bs_code];
+    if (sr_code == 12) br.read(8);
+    else if (sr_code == 13 || sr_code == 14) br.read(16);
+    else if (sr_code == 15) return -1;
+    static const int kSampleSizes[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    int bps = ss_code == 0 ? si.bps : kSampleSizes[ss_code];
+    if (bps <= 0) return -1;
+    uint8_t hcrc = uint8_t(br.read(8));
+    if (!br.ok || crc8(data.data() + pos, br.byte_pos() - 1 - pos) != hcrc)
+      return -1;
+
+    int n_ch = ch_code <= 7 ? ch_code + 1 : 2;
+    ch0.resize(blocksize);
+    ch1.resize(blocksize);
+    std::vector<double> mix(blocksize, 0.0);
+    if (ch_code <= 7) {
+      for (int c = 0; c < n_ch; ++c) {
+        // ch0 holds each channel in turn; mean downmix accumulates in mix
+        if (!decode_subframe(br, blocksize, bps, ch0.data())) return -1;
+        for (long i = 0; i < blocksize; ++i) mix[i] += double(ch0[i]);
+      }
+    } else {
+      int b0 = bps + (ch_code == 9 ? 1 : 0);
+      int b1 = bps + (ch_code == 9 ? 0 : 1);
+      if (!decode_subframe(br, blocksize, b0, ch0.data())) return -1;
+      if (!decode_subframe(br, blocksize, b1, ch1.data())) return -1;
+      for (long i = 0; i < blocksize; ++i) {
+        int64_t left, right;
+        if (ch_code == 8) { left = ch0[i]; right = ch0[i] - ch1[i]; }
+        else if (ch_code == 9) { left = ch1[i] + ch0[i]; right = ch1[i]; }
+        else {
+          int64_t side = ch1[i];
+          int64_t mid = (ch0[i] << 1) | (side & 1);
+          left = (mid + side) >> 1;
+          right = (mid - side) >> 1;
+        }
+        mix[i] = double(left) + double(right);
+      }
+      n_ch = 2;
+    }
+    br.align();
+    uint16_t fcrc = uint16_t(br.read(16));
+    if (!br.ok || crc16(data.data() + pos, br.byte_pos() - 2 - pos) != fcrc)
+      return -1;
+    long take = std::min<long>(blocksize, max_samples - written);
+    if (si.total_samples)
+      take = std::min<long>(take, long(si.total_samples) - written);
+    for (long i = 0; i < take; ++i)
+      out[written + i] = float(mix[i] / (n_ch * scale));
+    written += take;
+    pos = br.byte_pos();
+  }
+  return written > 0 ? written : -1;
+}
+
+// Container sniff: decode WAV or FLAC by magic bytes.
+long asr_read_audio(const char* path, float* out, long max_samples,
+                    int* sr_out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return -1;
+  char magic[4] = {0};
+  f.read(magic, 4);
+  f.close();
+  if (!std::memcmp(magic, "fLaC", 4))
+    return asr_read_flac(path, out, max_samples, sr_out);
+  return asr_read_wav(path, out, max_samples, sr_out);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Decode n WAV files in parallel into a zero-initialized padded batch
 // buffer out[n][row_stride]. lens[i] receives each row's sample count
 // (0 on decode error or sample-rate mismatch with expect_sr; such rows
@@ -118,7 +454,8 @@ long asr_load_batch(const char** paths, long n, float* out, long row_stride,
       long i = next.fetch_add(1);
       if (i >= n) break;
       int sr = 0;
-      long got = asr_read_wav(paths[i], out + i * row_stride, row_stride, &sr);
+      long got = asr_read_audio(paths[i], out + i * row_stride, row_stride,
+                                &sr);
       if (got < 0 || (expect_sr > 0 && sr != expect_sr)) {
         lens[i] = 0;
         std::memset(out + i * row_stride, 0, sizeof(float) * row_stride);
