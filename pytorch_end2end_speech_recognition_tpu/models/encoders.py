@@ -277,6 +277,30 @@ class RelPosBias(nnx.Module):
         V = flat[:, :, : T * (2 * T - 1)].reshape(L, H, T, 2 * T - 1)
         return V[:, :, :, T - 1 :][:, None]                      # (L,1,H,T,T)
 
+    def diags(self, T: int, dtype=jnp.float32) -> jnp.ndarray:
+        """(L, H, 2T-1) raw diagonal vectors — the compact Toeplitz form
+        consumed by the long-T flash kernel and the CP paths, which expand
+        only the (q-block, k-block) they need instead of (H, T, T) in HBM."""
+        rel = jnp.arange(-(T - 1), T)[None, :]
+        idx = self._bucket(rel)[0]
+        return self.table.value[:, :, idx].astype(dtype)
+
+
+FLASH_T = 768  # beyond this, dense (H, T, T) biases leave VMEM reach:
+# rel bias travels as diagonals and attention takes the q-block flash path
+
+
+def _rel_bias_repr(rel, cfg, T: int):
+    """Pick the rel-bias representation for this sequence length: dense
+    stacked (L, 1, H, T, T) below FLASH_T (whole-row fused kernel), compact
+    diagonals (L, H, 2T-1) for long T or any CP mode (never materializes
+    (T, T) in HBM). Returns (biases, diags), one of them None."""
+    if rel is None:
+        return None, None
+    if cfg.cp_mode or T > FLASH_T:
+        return None, rel.diags(T, dtype=jnp.float32)
+    return rel(T, dtype=_dt(cfg)), None
+
 
 class MhsaBlock(nnx.Module):
     """Pre-LN multi-head self-attention with padding mask + optional rel
@@ -299,14 +323,12 @@ class MhsaBlock(nnx.Module):
         self.attn_impl = cfg.attn_impl
         self.rdt = _rdt(cfg)
         self.mesh = mesh
-        if self.cp_mode and relative:
-            raise ValueError(
-                "cp_mode requires pos_encoding='absolute' (relative bias is "
-                "not sliced across time shards)")
 
-    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
-        """`bias` is this block's slice of the encoder's stacked RelPosBias
-        (built once per forward — see RelPosBias) or None for absolute PE."""
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None,
+                 bias_diag=None):
+        """`bias` is this block's dense (1, H, T, T) slice of the encoder's
+        stacked RelPosBias (short-T path), `bias_diag` its compact (H, 2T-1)
+        diagonal form (long-T / CP paths), or both None for absolute PE."""
         B, T, D = x.shape
         h = self.ln(x)
         qf, kf, vf = self.q(h), self.k(h), self.v(h)            # (B,T,D)
@@ -321,21 +343,33 @@ class MhsaBlock(nnx.Module):
                 self.mesh, qf.reshape(rs).astype(jnp.float32),
                 kf.reshape(rs).astype(jnp.float32),
                 vf.reshape(rs).astype(jnp.float32), lens, mode=self.cp_mode,
+                bias_diag=bias_diag,
             ).reshape(B, T, D)
         elif self.attn_impl == "pallas":
             from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
+                flash_attention,
                 fused_attention,
                 sharded_fused_attention,
             )
 
             lens = mask.sum(axis=1).astype(jnp.int32)
-            b3 = bias[0] if bias is not None else None
-            if self.mesh is not None:
-                y = sharded_fused_attention(self.mesh, qf, kf, vf, b3, lens,
-                                            self.heads)
+            if bias_diag is not None:
+                # long-T: q-block kernel expands the Toeplitz bias on-chip
+                y = flash_attention(qf, kf, vf, bias_diag, lens, self.heads)
             else:
-                y = fused_attention(qf, kf, vf, b3, lens, self.heads)
+                b3 = bias[0] if bias is not None else None
+                if self.mesh is not None:
+                    y = sharded_fused_attention(self.mesh, qf, kf, vf, b3,
+                                                lens, self.heads)
+                else:
+                    y = fused_attention(qf, kf, vf, b3, lens, self.heads)
         else:
+            if bias_diag is not None and bias is None:
+                from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
+                    toeplitz_expand,
+                )
+
+                bias = toeplitz_expand(bias_diag, T, T)[None]
             rs = (B, T, self.heads, D // self.heads)
             safe_mask = mask | (jnp.arange(T)[None, :] == 0)    # avoid all-masked
             attn_mask = safe_mask[:, None, None, :]             # (B,1,1,T)
@@ -375,11 +409,13 @@ class TransformerBlock(nnx.Module):
         self.mhsa = MhsaBlock(cfg, rngs, relative=relative, mesh=mesh)
         self.ffn = FfnBlock(cfg, rngs)
 
-    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None,
+                 bias_diag=None):
         k1 = k2 = None
         if rng is not None:
             k1, k2 = jax.random.split(rng)
-        return self.ffn(self.mhsa(x, mask, train, k1, bias=bias), train, k2)
+        h = self.mhsa(x, mask, train, k1, bias=bias, bias_diag=bias_diag)
+        return self.ffn(h, train, k2)
 
 
 class TransformerEncoder(nnx.Module):
@@ -411,16 +447,18 @@ class TransformerEncoder(nnx.Module):
             x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2])).astype(x.dtype)
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
-        biases = self.rel(T, dtype=_dt(self.cfg)) if self.rel else None
+        biases, diags = _rel_bias_repr(self.rel, self.cfg, T)
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
             bb = biases[i] if biases is not None else None
+            dd = diags[i] if diags is not None else None
             if self.cfg.remat and train:
                 x = jax.checkpoint(
-                    lambda x, m, kk, bb, blk=blk: blk(x, m, True, kk, bias=bb)
-                )(x, mask, k, bb)
+                    lambda x, m, kk, bb, dd, blk=blk: blk(
+                        x, m, True, kk, bias=bb, bias_diag=dd)
+                )(x, mask, k, bb, dd)
             else:
-                x = blk(x, mask, train, k, bias=bb)
+                x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
         x = self.ln_out(x)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
@@ -466,12 +504,13 @@ class ConformerBlock(nnx.Module):
         self.ff2 = FfnBlock(cfg, rngs, scale=0.5)
         self.ln = nnx.LayerNorm(cfg.encoder_dim, rngs=rngs)
 
-    def __call__(self, x, mask, train: bool = False, rng=None, bias=None):
+    def __call__(self, x, mask, train: bool = False, rng=None, bias=None,
+                 bias_diag=None):
         ks = [None] * 4
         if rng is not None:
             ks = list(jax.random.split(rng, 4))
         x = self.ff1(x, train, ks[0])
-        x = self.mhsa(x, mask, train, ks[1], bias=bias)
+        x = self.mhsa(x, mask, train, ks[1], bias=bias, bias_diag=bias_diag)
         x = self.conv(x, mask, train, ks[2])
         x = self.ff2(x, train, ks[3])
         return self.ln(x).astype(x.dtype)  # keep the residual-stream dtype
@@ -502,16 +541,18 @@ class ConformerEncoder(nnx.Module):
         T = x.shape[1]
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
-        biases = self.rel(T, dtype=_dt(self.cfg)) if self.rel else None
+        biases, diags = _rel_bias_repr(self.rel, self.cfg, T)
         for i, blk in enumerate(self.blocks):
             k = jax.random.fold_in(rng, i) if rng is not None else None
             bb = biases[i] if biases is not None else None
+            dd = diags[i] if diags is not None else None
             if self.cfg.remat and train:
                 x = jax.checkpoint(
-                    lambda x, m, kk, bb, blk=blk: blk(x, m, True, kk, bias=bb)
-                )(x, mask, k, bb)
+                    lambda x, m, kk, bb, dd, blk=blk: blk(
+                        x, m, True, kk, bias=bb, bias_diag=dd)
+                )(x, mask, k, bb, dd)
             else:
-                x = blk(x, mask, train, k, bias=bb)
+                x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
 

@@ -237,6 +237,226 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
     return merge(dq, q), merge(dk, k), merge(dv, v), dbias_out
 
 
+def toeplitz_expand(diag: jnp.ndarray, Tq: int, Tk: int, qoff=0, koff=0,
+                    T: int | None = None) -> jnp.ndarray:
+    """Expand relative-position diagonals (H, 2T-1) into a dense bias block
+    (H, Tq, Tk) with block[h, i, j] = diag[h, (T-1) + (koff+j) - (qoff+i)].
+
+    The expansion is the pad+tile+reshape relayout (no (T, T) gather, see
+    RelPosBias.__call__); qoff/koff may be traced scalars — CP shards and
+    q-block kernels carve their local block out of one shared diagonal
+    vector instead of materializing (H, T, T) in HBM."""
+    H, two_t1 = diag.shape
+    T = (two_t1 + 1) // 2 if T is None else T
+    start = (T - 1) - (Tq - 1) + koff - qoff
+    w = jax.lax.dynamic_slice(diag, (0, start), (H, Tq + Tk - 1))
+    wp = jnp.pad(w, ((0, 0), (0, 1)))                    # (H, Tq+Tk)
+    flat = jnp.tile(wp, (1, Tq))[:, : Tq * (Tq + Tk - 1)]
+    return flat.reshape(H, Tq, Tq + Tk - 1)[:, :, Tq - 1 : Tq - 1 + Tk]
+
+
+def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, diag_ref, o_ref, *,
+                  sm_scale, has_bias, heads, bq):
+    """Long-T attention: one (batch row, query block), all heads, K/V rows
+    whole in VMEM. Scores materialize as (bq, Tp) f32 blocks only — the
+    VMEM budget is ~(2*Tp*D + bq*Tp*4) bytes, good to T≈4k at D=256 where
+    the whole-row kernel (resident (Tp, Tp)) caps at 768. Single-pass
+    softmax per row block (all keys visible), no online rescaling."""
+    qi = pl.program_id(1)
+    Tp = k_ref.shape[1]
+    Dh = q_ref.shape[2] // heads
+    L = lens_ref[pl.program_id(0), 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, Tp), 1)
+    key_ok = col < L
+    qs = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    if has_bias:
+        # this q block's diagonal window, expanded per head below
+        start = Tp - 1 - (bq - 1) - qi * bq + (Tp - 1) - (Tp - 1)
+        start = Tp - bq - qi * bq  # (T-1) - (bq-1) - qoff with koff=0
+        w_all = jax.lax.dynamic_slice(
+            diag_ref[...], (0, start), (heads, bq + Tp - 1))
+    for h in range(heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        s = jax.lax.dot_general(
+            qs[:, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                             # (bq, Tp) f32
+        if has_bias:
+            wp = jnp.pad(w_all[h], ((0, 1),))         # (bq+Tp,)
+            blk = jnp.tile(wp, (bq,))[: bq * (bq + Tp - 1)].reshape(
+                bq, bq + Tp - 1)[:, bq - 1 : bq - 1 + Tp]
+            s = s + blk.astype(jnp.float32)
+        s = jnp.where(key_ok, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(v_ref.dtype)
+        den = jnp.maximum(
+            jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32), 1e-30)
+        o = jax.lax.dot_general(
+            e, v_ref[0, :, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / den).astype(o_ref.dtype)
+
+
+def _flash_fwd_pallas(q, k, v, diag, lens, heads: int, bq: int = 256):
+    """q-block tiled forward for T beyond the whole-row kernel's reach.
+    diag: (H, 2T-1) relative-position diagonals or None."""
+    B, T, D = q.shape
+    Dh = D // heads
+    bq = min(bq, _round_up(T, LANE))
+    Tp = _round_up(T, max(bq, LANE))
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    has_bias = diag is not None
+    if has_bias:
+        diag = jnp.pad(diag.astype(jnp.float32),
+                       ((0, 0), (Tp - T, Tp - T)), mode="edge")
+    else:
+        diag = jnp.zeros((1, LANE), jnp.float32)
+    nq = Tp // bq
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, sm_scale=1.0 / (Dh ** 0.5),
+                          has_bias=has_bias, heads=heads, bq=bq),
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # lens (B, 1)
+            pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            # K/V rows whole; index constant in qi -> resident per b sweep
+            pl.BlockSpec((1, Tp, D), lambda b, qi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, D), lambda b, qi: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(diag.shape, lambda b, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, qi: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * Tp * Tp * Dh,
+            bytes_accessed=(2 * B * Tp * D * (Tp // bq) + 2 * B * Tp * D)
+            * q.dtype.itemsize,
+            transcendentals=B * heads * Tp * Tp,
+        ),
+    )(lens.astype(jnp.int32).reshape(B, 1), q, k, v, diag)
+    return out[:, :T]
+
+
+def _attention_xla_chunked(q, k, v, diag, lens, heads: int, bq: int = 256,
+                           g=None):
+    """Long-T XLA path, lax.map over query chunks so peak memory is
+    (B, H, bq, T) instead of (B, H, T, T). With g: returns grads
+    (dq, dk, dv, ddiag) — the backward for the flash kernel."""
+    B, T, D = q.shape
+    Dh = D // heads
+    Tp = _round_up(T, bq)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q = jnp.pad(q, pad)
+        if g is not None:
+            g = jnp.pad(g, pad)
+    kh = k.reshape(B, T, heads, Dh)
+    vh = v.reshape(B, T, heads, Dh)
+    key_ok = jnp.arange(T)[None, None, None, :] < lens[:, None, None, None]
+    scale = 1.0 / (Dh ** 0.5)
+    nq = Tp // bq
+    if diag is not None and Tp != T:
+        # recenter diagonals at Tp-1 so offset math matches the padded grid
+        diag = jnp.pad(diag, ((0, 0), (Tp - T, Tp - T)), mode="edge")
+    qc = q.reshape(B, nq, bq, D).transpose(1, 0, 2, 3)        # (nq,B,bq,D)
+    gc = (g.reshape(B, nq, bq, D).transpose(1, 0, 2, 3)
+          if g is not None else jnp.zeros((nq,), q.dtype))
+
+    def chunk(args):
+        qi, qblk, gblk = args
+        qh = qblk.reshape(B, bq, heads, Dh)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        if diag is not None:
+            s = s + toeplitz_expand(diag, bq, T, qoff=qi * bq, T=Tp)[None]
+        s = jnp.where(key_ok, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p = e / den
+        if g is None:
+            o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh,
+                           preferred_element_type=jnp.float32)
+            return o.reshape(B, bq, D).astype(q.dtype)
+        gh = gblk.reshape(B, bq, heads, Dh).astype(jnp.float32)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh.astype(jnp.float32))
+        dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bhqk,bkhd->bqhd", ds,
+                        kh.astype(jnp.float32)) * scale
+        dk = jnp.einsum("bhqk,bqhd->bkhd", ds,
+                        qh.astype(jnp.float32)) * scale
+        # ddiag: scatter ds onto diagonals d = (T-1) + (koff+j) - (qoff+i)
+        dsum = jnp.sum(ds, axis=(0,))                        # (H,bq,T)
+        ddiag = jnp.zeros((heads, 2 * Tp - 1), jnp.float32)
+        i_idx = jnp.arange(bq)[:, None]
+        j_idx = jnp.arange(T)[None, :]
+        dpos = (Tp - 1) + j_idx - (qi * bq + i_idx)          # (bq,T)
+        ddiag = ddiag.at[:, dpos].add(dsum)
+        return (dq.reshape(B, bq, D).astype(q.dtype), dk, dv, ddiag)
+
+    idx = jnp.arange(nq)
+    outs = jax.lax.map(chunk, (idx, qc, gc))
+    if g is None:
+        return outs.transpose(1, 0, 2, 3).reshape(B, Tp, D)[:, :T]
+    dq, dk, dv, ddiag = outs
+    dq = dq.transpose(1, 0, 2, 3).reshape(B, Tp, D)[:, :T]
+    dk = jnp.sum(dk, axis=0).reshape(B, T, D).astype(k.dtype)
+    dv = jnp.sum(dv, axis=0).reshape(B, T, D).astype(v.dtype)
+    ddiag_out = None
+    if diag is not None:
+        full = jnp.sum(ddiag, axis=0)                        # (H, 2Tp-1)
+        off = Tp - T
+        ddiag_out = jax.lax.dynamic_slice(
+            full, (0, off), (heads, 2 * T - 1)).astype(diag.dtype)
+        if off:  # edge-padded positions folded onto the boundary diagonals
+            edge_lo = jnp.sum(
+                jax.lax.dynamic_slice(full, (0, 0), (heads, off)),
+                axis=1) if off else 0.0
+            edge_hi = jnp.sum(
+                jax.lax.dynamic_slice(full, (0, Tp - 1 + T), (heads, off)),
+                axis=1)
+            ddiag_out = ddiag_out.at[:, 0].add(edge_lo.astype(diag.dtype))
+            ddiag_out = ddiag_out.at[:, -1].add(edge_hi.astype(diag.dtype))
+    return dq, dk, dv, ddiag_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention(q, k, v, diag, lens, heads: int):
+    """Length-masked self-attention for LONG sequences (T > 768) with an
+    optional Toeplitz relative-position bias given as diagonals.
+
+    q/k/v: (B, T, D); diag: (H, 2T-1) or None; lens: (B,) int32.
+    Forward: q-block-tiled Pallas kernel on TPU (K/V rows resident in VMEM,
+    scores never touch HBM); chunked XLA elsewhere. Backward: chunked XLA
+    recompute with bounded (B, H, bq, T) memory; grads flow to q/k/v/diag.
+    """
+    if jax.default_backend() not in ("cpu",):
+        return _flash_fwd_pallas(q, k, v, diag, lens, heads)
+    return _attention_xla_chunked(q, k, v, diag, lens, heads)
+
+
+def _flash_fwd_rule(q, k, v, diag, lens, heads):
+    return flash_attention(q, k, v, diag, lens, heads), (q, k, v, diag, lens)
+
+
+def _flash_bwd_rule(heads, res, g):
+    q, k, v, diag, lens = res
+    dq, dk, dv, ddiag = _attention_xla_chunked(q, k, v, diag, lens, heads,
+                                               g=g)
+    return dq, dk, dv, ddiag, None
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
 def _attention_xla(q, k, v, bias, lens, heads: int):
     """Reference math shared by the backward pass and the CPU/oracle path.
     Bit-compatible with the kernel up to reduction order."""

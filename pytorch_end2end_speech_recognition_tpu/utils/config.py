@@ -101,8 +101,8 @@ class ModelConfig:
     attn_impl: str = "xla"           # encoder self-attention (fused Pallas)
     remat: bool = False              # jax.checkpoint encoder blocks (memory)
     # context parallelism for encoder self-attention over the 'model' axis:
-    # '' (off) | 'ring' | 'ulysses'; requires pos_encoding='absolute'
-    # (relative bias is not sliced across time shards)
+    # '' (off) | 'ring' | 'ulysses'; composes with either pos_encoding
+    # (relative bias travels as Toeplitz diagonals, expanded per time shard)
     cp_mode: str = ""
 
 

@@ -91,7 +91,36 @@ def test_encoder_with_cp_matches_plain(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_cp_with_relative_pe_rejected():
+@pytest.mark.parametrize("mode", ["ring", "ulysses"])
+def test_cp_with_toeplitz_bias_matches_full(mode, qkv):
+    """CP attention with a relative-position bias given as diagonals must
+    equal full attention with the densely-expanded bias (VERDICT r1 item 7:
+    relative PE composes with CP)."""
+    from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
+        toeplitz_expand,
+    )
+
+    q, k, v, lens = qkv
+    B, T, H, D = q.shape
+    rng = np.random.default_rng(5)
+    diag = jnp.asarray(rng.standard_normal((H, 2 * T - 1)).astype(np.float32))
+    mesh = make_mesh(dp=1, tp=8)
+
+    dense = toeplitz_expand(diag, T, T)
+    mask = jnp.arange(T)[None, :] < lens[:, None]
+    ref, _, d = _block_attend(q, k, v, mask, bias=dense[None])
+    ref = ref / jnp.maximum(d.swapaxes(1, 2)[..., None], 1e-30)
+    ref = jnp.where(mask[:, :, None, None], ref, 0.0)
+
+    out = sharded_self_attention(mesh, q, k, v, lens, mode=mode,
+                                 axis="model", bias_diag=diag)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_cp_with_relative_pe_matches_plain(rng):
+    """cp_mode + pos_encoding='relative' (the round-1 guard is gone): the
+    CP encoder must equal the plain relative-PE encoder with same params."""
     from flax import nnx
 
     from pytorch_end2end_speech_recognition_tpu.models.encoders import (
@@ -99,8 +128,21 @@ def test_cp_with_relative_pe_rejected():
     )
     from pytorch_end2end_speech_recognition_tpu.utils.config import ModelConfig
 
-    cfg = ModelConfig(encoder="transformer", encoder_layers=1,
-                      encoder_dim=32, encoder_ffn_dim=64, encoder_heads=8,
-                      pos_encoding="relative", cp_mode="ring")
-    with pytest.raises(ValueError, match="cp_mode requires"):
-        build_encoder(80, cfg, nnx.Rngs(0), mesh=make_mesh(dp=1, tp=8))
+    def cfg(cp):
+        return ModelConfig(
+            encoder="transformer", encoder_layers=2, encoder_dim=32,
+            encoder_ffn_dim=64, encoder_heads=8, dtype="float32",
+            pos_encoding="relative", cp_mode=cp,
+        )
+
+    mesh = make_mesh(dp=1, tp=8)
+    x = jnp.asarray(rng.standard_normal((2, 130, 80)).astype(np.float32))
+    lens = jnp.asarray([130, 77])
+    plain = build_encoder(80, cfg(""), nnx.Rngs(0))
+    y_ref, l_ref = plain(x, lens)
+    for mode in ("ring", "ulysses"):
+        enc = build_encoder(80, cfg(mode), nnx.Rngs(0), mesh=mesh)
+        y, l = enc(x, lens)
+        assert (np.asarray(l) == np.asarray(l_ref)).all()
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-4, atol=3e-5)

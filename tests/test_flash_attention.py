@@ -1,0 +1,129 @@
+"""Long-T attention tests: q-block flash kernel vs XLA oracle at T=2048
+(interpret mode), chunked backward grads incl. diagonal-bias grads, and the
+Toeplitz expansion helper (VERDICT r1 item 7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
+    _attention_xla,
+    _attention_xla_chunked,
+    _flash_fwd_pallas,
+    flash_attention,
+    toeplitz_expand,
+)
+
+
+def _mk(B=2, T=2048, D=64, H=2, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((B, T, D)).astype(np.float32) * 0.3)
+    q, k, v = mk(), mk(), mk()
+    lens = jnp.asarray([T, T - 301], jnp.int32)[:B]
+    diag = jnp.asarray(
+        rng.standard_normal((H, 2 * T - 1)).astype(np.float32) * 0.2)
+    return q, k, v, diag, lens
+
+
+def test_toeplitz_expand_matches_relposbias_expansion():
+    """toeplitz_expand must realize block[h,i,j] = diag[h, T-1 + j - i],
+    including offset blocks."""
+    rng = np.random.default_rng(1)
+    H, T = 3, 17
+    diag = jnp.asarray(rng.standard_normal((H, 2 * T - 1)).astype(np.float32))
+    dense = np.asarray(toeplitz_expand(diag, T, T))
+    d = np.asarray(diag)
+    for h in range(H):
+        for i in range(T):
+            for j in range(T):
+                assert dense[h, i, j] == d[h, (T - 1) + j - i]
+    # offset block (qoff, koff) equals the corresponding dense slice
+    blk = np.asarray(toeplitz_expand(diag, 5, 4, qoff=8, koff=12, T=T))
+    np.testing.assert_array_equal(blk, dense[:, 8:13, 12:16])
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_kernel_matches_oracle_T2048(with_bias):
+    q, k, v, diag, lens = _mk()
+    H = diag.shape[0]
+    dense = toeplitz_expand(diag, q.shape[1], q.shape[1]) if with_bias else None
+    ref = _attention_xla(q, k, v, dense, lens, H)
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_fwd_pallas(q, k, v, diag if with_bias else None, lens, H)
+    mask = np.arange(q.shape[1])[None, :, None] < np.asarray(lens)[:, None,
+                                                                   None]
+    np.testing.assert_allclose(np.asarray(out) * mask, np.asarray(ref) * mask,
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_chunked_xla_matches_oracle(with_bias):
+    """The CPU/long-T fallback (lax.map over q chunks) == whole-T XLA."""
+    q, k, v, diag, lens = _mk(T=700)  # not a multiple of the 256 chunk
+    H = diag.shape[0]
+    dense = toeplitz_expand(diag, 700, 700) if with_bias else None
+    ref = _attention_xla(q, k, v, dense, lens, H)
+    out = _attention_xla_chunked(q, k, v, diag if with_bias else None, lens,
+                                 H)
+    mask = np.arange(700)[None, :, None] < np.asarray(lens)[:, None, None]
+    np.testing.assert_allclose(np.asarray(out) * mask, np.asarray(ref) * mask,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_grads_match_dense_reference():
+    """flash_attention's chunked VJP == autodiff through dense attention
+    with the Toeplitz-expanded bias; diag grads equal the diagonal sums of
+    the dense-bias grads."""
+    q, k, v, diag, lens = _mk(T=512, B=2)
+    H = diag.shape[0]
+    T = q.shape[1]
+    mask3 = (jnp.arange(T)[None, :, None] < lens[:, None, None]).astype(
+        jnp.float32)
+
+    def loss_flash(q, k, v, diag):
+        return jnp.sum((flash_attention(q, k, v, diag, lens, H) * mask3) ** 2)
+
+    def loss_dense(q, k, v, diag):
+        dense = toeplitz_expand(diag, T, T)
+        return jnp.sum((_attention_xla(q, k, v, dense, lens, H) * mask3) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, diag)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, diag)
+    for a, b, name in zip(gf, gd, ["dq", "dk", "dv", "ddiag"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=name)
+
+
+def test_encoder_long_T_uses_diag_path(rng):
+    """A relative-PE conformer encoder at frame length > FLASH_T must agree
+    with itself regardless of attn_impl path selection (xla vs chunked)."""
+    from flax import nnx
+
+    from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+        FLASH_T,
+        build_encoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import (
+        ModelConfig,
+    )
+
+    Tin = (FLASH_T + 8) * 4  # conv x4 subsample puts frames just over FLASH_T
+
+    def cfg(impl):
+        return ModelConfig(
+            encoder="conformer", encoder_layers=1, encoder_dim=32,
+            encoder_ffn_dim=64, encoder_heads=2, dtype="float32",
+            pos_encoding="relative", attn_impl=impl,
+        )
+
+    x = jnp.asarray(rng.standard_normal((1, Tin, 80)).astype(np.float32))
+    lens = jnp.asarray([Tin - 50])
+    y_x, l_x = build_encoder(80, cfg("xla"), nnx.Rngs(0))(x, lens)
+    y_p, l_p = build_encoder(80, cfg("pallas"), nnx.Rngs(0))(x, lens)
+    assert int(l_x[0]) == int(l_p[0])
+    assert y_x.shape[1] > FLASH_T  # padded frame length selects the diag path
+    np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_p), rtol=2e-4,
+                               atol=2e-4)
