@@ -290,6 +290,45 @@ FLASH_T = 768  # beyond this, dense (H, T, T) biases leave VMEM reach:
 # rel bias travels as diagonals and attention takes the q-block flash path
 
 
+def _apply_blocks(enc, x, mask, T: int, train: bool, rng):
+    """Shared block-stack driver for Transformer/Conformer encoders:
+    sequential loop (with optional remat), or a GPipe pipeline over the
+    'model' mesh axis when cfg.pp_stages > 1 (SURVEY.md §2c PP row; VERDICT
+    r1 item 8 — PP reachable from config). The pipeline path is
+    deterministic (no in-block dropout rng) and uses dense rel biases."""
+    cfg = enc.cfg
+    if cfg.pp_stages > 1 and enc.mesh is not None:
+        from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
+            MODEL_AXIS,
+        )
+        from pytorch_end2end_speech_recognition_tpu.parallel.pp import (
+            pipeline_blocks,
+        )
+
+        if enc.mesh.shape[MODEL_AXIS] != cfg.pp_stages:
+            raise ValueError(
+                f"pp_stages={cfg.pp_stages} must equal the 'model' mesh axis "
+                f"size {enc.mesh.shape[MODEL_AXIS]} (set train.tp=pp_stages)")
+        biases = enc.rel(T, dtype=_dt(cfg)) if enc.rel is not None else None
+        return pipeline_blocks(
+            enc.mesh, MODEL_AXIS, list(enc.blocks), x, mask,
+            cfg.pp_microbatches, train=train, biases=biases,
+        )
+    biases, diags = _rel_bias_repr(enc.rel, cfg, T)
+    for i, blk in enumerate(enc.blocks):
+        k = jax.random.fold_in(rng, i) if rng is not None else None
+        bb = biases[i] if biases is not None else None
+        dd = diags[i] if diags is not None else None
+        if cfg.remat and train:
+            x = jax.checkpoint(
+                lambda x, m, kk, bb, dd, blk=blk: blk(
+                    x, m, True, kk, bias=bb, bias_diag=dd)
+            )(x, mask, k, bb, dd)
+        else:
+            x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
+    return x
+
+
 def _rel_bias_repr(rel, cfg, T: int):
     """Pick the rel-bias representation for this sequence length: dense
     stacked (L, 1, H, T, T) below FLASH_T (whole-row fused kernel), compact
@@ -435,6 +474,7 @@ class TransformerEncoder(nnx.Module):
             [TransformerBlock(cfg, rngs, self.relative, mesh=mesh)
              for _ in range(cfg.encoder_layers)]
         )
+        self.mesh = mesh
         self.ln_out = nnx.LayerNorm(D, rngs=rngs)
         self.rate = cfg.encoder_dropout
         self.d_out = D
@@ -447,18 +487,7 @@ class TransformerEncoder(nnx.Module):
             x = x + jnp.asarray(sinusoidal_pe(T, x.shape[2])).astype(x.dtype)
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
-        biases, diags = _rel_bias_repr(self.rel, self.cfg, T)
-        for i, blk in enumerate(self.blocks):
-            k = jax.random.fold_in(rng, i) if rng is not None else None
-            bb = biases[i] if biases is not None else None
-            dd = diags[i] if diags is not None else None
-            if self.cfg.remat and train:
-                x = jax.checkpoint(
-                    lambda x, m, kk, bb, dd, blk=blk: blk(
-                        x, m, True, kk, bias=bb, bias_diag=dd)
-                )(x, mask, k, bb, dd)
-            else:
-                x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
+        x = _apply_blocks(self, x, mask, T, train, rng)
         x = self.ln_out(x)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
@@ -532,6 +561,7 @@ class ConformerEncoder(nnx.Module):
             [ConformerBlock(cfg, rngs, mesh=mesh)
              for _ in range(cfg.encoder_layers)]
         )
+        self.mesh = mesh
         self.rate = cfg.encoder_dropout
         self.d_out = D
 
@@ -541,18 +571,7 @@ class ConformerEncoder(nnx.Module):
         T = x.shape[1]
         x = dropout(x, self.rate, rng, train, salt=999)
         mask = length_mask(lens, T)
-        biases, diags = _rel_bias_repr(self.rel, self.cfg, T)
-        for i, blk in enumerate(self.blocks):
-            k = jax.random.fold_in(rng, i) if rng is not None else None
-            bb = biases[i] if biases is not None else None
-            dd = diags[i] if diags is not None else None
-            if self.cfg.remat and train:
-                x = jax.checkpoint(
-                    lambda x, m, kk, bb, dd, blk=blk: blk(
-                        x, m, True, kk, bias=bb, bias_diag=dd)
-                )(x, mask, k, bb, dd)
-            else:
-                x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
+        x = _apply_blocks(self, x, mask, T, train, rng)
         x = jnp.where(mask[..., None], x, 0.0)
         return x, lens
 

@@ -91,15 +91,18 @@ def param_specs(mesh, params) -> list[tuple[str, P]]:
     ]
 
 
-def shard_train_state(mesh, params, opt_state):
+def shard_train_state(mesh, params, opt_state, tp_rules: bool = True):
     """Place params per rules. Optimizer-state leaves that are param-shaped
     (adam mu/nu mirror the param tree) inherit the matching spec; everything
-    else is replicated."""
+    else is replicated. With tp_rules=False everything is replicated —
+    used when pipeline parallelism owns the 'model' axis (stage staging
+    happens functionally inside parallel/pp.py)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     shape_to_spec: dict[tuple, P] = {}
     new_leaves = []
     for path, leaf in flat:
-        spec = _divisible_or_replicated(mesh, leaf, spec_for(path, leaf))
+        spec = (_divisible_or_replicated(mesh, leaf, spec_for(path, leaf))
+                if tp_rules else P())
         shape_to_spec.setdefault(tuple(leaf.shape), spec)
         new_leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     params = jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -87,7 +87,8 @@ class Solver:
             )
 
             self.params, self.opt_state = shard_train_state(
-                mesh, self.params, self.opt_state
+                mesh, self.params, self.opt_state,
+                tp_rules=cfg.model.pp_stages <= 1,
             )
             from pytorch_end2end_speech_recognition_tpu.utils.debugging import (
                 check_collective_consistency,

@@ -104,6 +104,12 @@ class ModelConfig:
     # '' (off) | 'ring' | 'ulysses'; composes with either pos_encoding
     # (relative bias travels as Toeplitz diagonals, expanded per time shard)
     cp_mode: str = ""
+    # pipeline parallelism: stage the encoder blocks over the 'model' mesh
+    # axis (GPipe microbatching, parallel/pp.py). pp_stages must equal
+    # cfg.train.tp (the stages live on the model axis, replacing TP there);
+    # batch must divide pp_microbatches. 1 = off.
+    pp_stages: int = 1
+    pp_microbatches: int = 4
 
 
 @dataclass

@@ -75,3 +75,68 @@ def test_pipeline_blocks_matches_sequential(layers, stages, relative, rng):
                           biases=biases)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_encoder_pp_from_config_matches_plain(rng):
+    """VERDICT r1 item 8: PP reachable from config alone — a conformer
+    encoder with cfg.pp_stages=4 over the (data=2, model=4) mesh must equal
+    the plain encoder (values AND grads)."""
+    import jax
+
+    from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+        build_encoder,
+    )
+
+    def cfg(pp):
+        return ModelConfig(
+            encoder="conformer", encoder_layers=4, encoder_dim=32,
+            encoder_ffn_dim=64, encoder_heads=4, dtype="float32",
+            pos_encoding="relative", encoder_dropout=0.0,
+            pp_stages=pp, pp_microbatches=4,
+        )
+
+    mesh = make_mesh(dp=2, tp=4)
+    x = jnp.asarray(rng.standard_normal((8, 180, 80)).astype(np.float32))
+    lens = jnp.asarray([180, 100, 180, 60, 180, 180, 30, 180])
+
+    plain = build_encoder(80, cfg(1), nnx.Rngs(0))
+    pp = build_encoder(80, cfg(4), nnx.Rngs(0), mesh=mesh)
+    y_ref, l_ref = plain(x, lens)
+    y_pp, l_pp = jax.jit(lambda x, l: pp(x, l))(x, lens)
+    assert (np.asarray(l_pp) == np.asarray(l_ref)).all()
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # grads through the pipelined train path match the sequential path
+    gd_ref, st_ref = nnx.split(plain)
+    gd_pp, st_pp = nnx.split(pp)
+
+    def loss(gd):
+        def inner(state, model_x):
+            m = nnx.merge(gd, state)
+            y, _ = m(model_x, lens, train=True)
+            return jnp.sum(y ** 2)
+        return inner
+
+    g_ref = jax.grad(loss(gd_ref))(st_ref, x)
+    g_pp = jax.jit(jax.grad(loss(gd_pp)))(st_pp, x)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    pp_leaves = jax.tree_util.tree_leaves(g_pp)
+    assert len(ref_leaves) == len(pp_leaves)
+    for a, b in zip(ref_leaves, pp_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_encoder_pp_stage_mismatch_raises(rng):
+    from pytorch_end2end_speech_recognition_tpu.models.encoders import (
+        build_encoder,
+    )
+
+    cfg = ModelConfig(encoder="transformer", encoder_layers=4,
+                      encoder_dim=32, encoder_ffn_dim=64, encoder_heads=4,
+                      dtype="float32", pp_stages=2)
+    enc = build_encoder(80, cfg, nnx.Rngs(0), mesh=make_mesh(dp=2, tp=4))
+    x = jnp.zeros((4, 40, 80), jnp.float32)
+    with pytest.raises(ValueError, match="pp_stages"):
+        enc(x, jnp.asarray([40, 40, 40, 40]))
