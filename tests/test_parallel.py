@@ -229,3 +229,25 @@ def test_sharded_fused_attention_matches_global(dp, tp, with_bias, rng):
     for a, b in zip(gs, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_bench_scaling_harness_runs(capsys):
+    """The dp-scaling harness (bench_scaling.py) runs the production
+    mesh/shard_batch path on the virtual-device mesh and emits the
+    throughput + efficiency metrics (VERDICT r1 item 4). Efficiency values
+    on fake CPU devices are wiring-only, so only presence is asserted."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench_scaling
+
+    bench_scaling.main(["--dp", "1", "2", "--small", "--iters", "1",
+                        "--per-device-batch", "1", "--utt-seconds", "0.6"])
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    tput = [r for r in rows if r["metric"] == "train_step_audio_s_per_s"]
+    eff = [r for r in rows if r["metric"] == "dp_scaling_efficiency"]
+    assert {r["dp"] for r in tput} == {1, 2}
+    assert all(r["value"] > 0 for r in tput)
+    assert len(eff) == 1 and eff[0]["dp"] == 2 and eff[0]["value"] > 0
