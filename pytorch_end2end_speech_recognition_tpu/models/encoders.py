@@ -38,6 +38,28 @@ def length_mask(lens: jnp.ndarray, T: int) -> jnp.ndarray:
     return jnp.arange(T)[None, :] < lens[:, None]
 
 
+def sp_constrain(x, mesh, enabled: bool):
+    """Megatron-style sequence parallelism (SURVEY.md §2c SP row): pin the
+    residual-stream TIME axis to the 'model' mesh axis between TP-sharded
+    matmul blocks, so the norms/dropout/elementwise segments run on 1/tp of
+    the activations and GSPMD inserts all-gather/reduce-scatter pairs at
+    the matmul boundaries instead of keeping activations replicated.
+    No-op off-mesh or when T does not divide the axis."""
+    if not enabled or mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
+        DATA_AXIS,
+        MODEL_AXIS,
+    )
+
+    if x.ndim != 3 or x.shape[1] % mesh.shape[MODEL_AXIS] != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None)))
+
+
 def dropout(x, rate: float, rng, train: bool, salt: int = 0):
     """Stateless dropout: no-op unless train and rng given. Explicit keys keep
     the train step purely functional (donation/sharding-friendly)."""
@@ -315,10 +337,12 @@ def _apply_blocks(enc, x, mask, T: int, train: bool, rng):
             cfg.pp_microbatches, train=train, biases=biases,
         )
     biases, diags = _rel_bias_repr(enc.rel, cfg, T)
+    sp = cfg.sp and not cfg.cp_mode  # CP owns the time-axis layout itself
     for i, blk in enumerate(enc.blocks):
         k = jax.random.fold_in(rng, i) if rng is not None else None
         bb = biases[i] if biases is not None else None
         dd = diags[i] if diags is not None else None
+        x = sp_constrain(x, enc.mesh, sp)
         if cfg.remat and train:
             x = jax.checkpoint(
                 lambda x, m, kk, bb, dd, blk=blk: blk(
@@ -326,7 +350,7 @@ def _apply_blocks(enc, x, mask, T: int, train: bool, rng):
             )(x, mask, k, bb, dd)
         else:
             x = blk(x, mask, train, k, bias=bb, bias_diag=dd)
-    return x
+    return sp_constrain(x, enc.mesh, sp)
 
 
 def _rel_bias_repr(rel, cfg, T: int):

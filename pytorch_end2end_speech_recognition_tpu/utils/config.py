@@ -110,6 +110,12 @@ class ModelConfig:
     # batch must divide pp_microbatches. 1 = off.
     pp_stages: int = 1
     pp_microbatches: int = 4
+    # Megatron-style sequence parallelism (SURVEY.md §2c SP row): shard the
+    # residual-stream time axis over the 'model' mesh axis between TP blocks
+    # so norms/dropout/elementwise run on 1/tp of the activations; GSPMD
+    # inserts the all-gather/reduce-scatter pairs at matmul boundaries.
+    # Ignored under cp_mode / pp_stages>1 (those own the time axis layout).
+    sp: bool = False
 
 
 @dataclass
