@@ -5,9 +5,11 @@ back to CPU elsewhere). Prints exactly ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-vs_baseline is measured against REF_AUDIO_S_PER_S, a genre-anchored single-GPU
-figure for a conformer-class encoder forward (no published reference number is
-recoverable — BASELINE.json:13 `published: {}`; see BASELINE.md).
+No published reference number is recoverable (BASELINE.json:13
+`published: {}`), so `vs_baseline` is the self-grounding quantity the r1
+verdict asked for: achieved MFU — XLA's own flop count for the jitted
+program divided by wall time and the chip's peak (utils/profiling.PEAKS).
+1.0 would be the hardware speed-of-light for this exact computation.
 """
 
 from __future__ import annotations
@@ -15,8 +17,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-
-REF_AUDIO_S_PER_S = 400.0  # genre-anchored placeholder (BASELINE.md)
 
 BATCH = 32  # throughput metric: v5e HBM fits this easily and MXU prefers it
 UTT_SECONDS = 30.0
@@ -65,6 +65,12 @@ def main():
     for _ in range(WARMUP):
         toks, lens = fwd(state, audio, audio_lens)
     toks.block_until_ready()
+    # XLA's flop count for this exact program -> MFU denominator
+    try:
+        ca = fwd.lower(state, audio, audio_lens).compile().cost_analysis()
+        prog_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        prog_flops = 0.0
     # block once at the end: dispatch pipelining is part of real throughput
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -74,17 +80,26 @@ def main():
 
     audio_s = BATCH * UTT_SECONDS * ITERS
     value = audio_s / dt
+    from pytorch_end2end_speech_recognition_tpu.utils.profiling import (
+        device_peaks,
+    )
+
+    peak_tflops, _ = device_peaks()
+    mfu = prog_flops * ITERS / dt / (peak_tflops * 1e12)
     print(
         f"[bench] device={dev} model={cfg.name} "
         f"enc_layers={cfg.model.encoder_layers} d={cfg.model.encoder_dim} "
-        f"batch={BATCH} utt={UTT_SECONDS}s iters={ITERS} wall={dt:.3f}s",
+        f"batch={BATCH} utt={UTT_SECONDS}s iters={ITERS} wall={dt:.3f}s "
+        f"flops/step={prog_flops:.3e} mfu={mfu:.3f}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": "audio_s_per_s_per_chip_encode_ctc_greedy",
         "value": round(value, 2),
         "unit": "audio-seconds/second/chip",
-        "vs_baseline": round(value / REF_AUDIO_S_PER_S, 3),
+        "vs_baseline": round(mfu, 4),  # achieved MFU; 1.0 = chip peak
+        "flops_per_step": prog_flops,
+        "peak_tflops": peak_tflops,
     }))
 
 

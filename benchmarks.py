@@ -5,6 +5,9 @@ Covers the three BASELINE.json:2 metrics plus kernel microbenches:
   - full train-step audio-s/s/chip (fwd+bwd+optimizer)
   - joint CTC/attention beam-decode RTF (on-device beam)
   - frontend / LSTM / CTC kernel timings (pallas vs xla)
+  - ladder-rung shapes: rung-4 (16L/d512) and rung-5 (24L/d1024) encode +
+    train-step throughput with achieved MFU (VERDICT r1 item 3 — bench the
+    real flagship, not just the 12L/d256 headline model)
 
 Writes one JSON line per metric; run on the TPU.
 """
@@ -168,6 +171,68 @@ def main():
                 x, llens, labels, lab_lens, impl=impl).sum()))
             dt = timeit(g, logits, n=10)
             emit(f"ctc_{impl}_grad_ms", dt * 1000, "ms")
+
+    # ---- ladder-rung shapes (the "real flagship" benches): rung-4 and
+    # rung-5 conformers, single chip, encode + train step with achieved MFU
+    from pytorch_end2end_speech_recognition_tpu.utils.profiling import (
+        device_peaks,
+    )
+
+    peak_tflops, _ = device_peaks()
+
+    def bench_rung(tag, layers, d, ffn, heads, Br, remat):
+        c = _flagship_cfg(small=not on_tpu)
+        c.model.encoder_layers = layers
+        c.model.encoder_dim = d
+        c.model.encoder_ffn_dim = ffn
+        c.model.encoder_heads = heads
+        c.model.decoder_dim = d
+        c.model.remat = remat
+        m = AsrModel(c, nnx.Rngs(0))
+        gd, p, r = nnx.split(m, nnx.Param, ...)
+        a = audio[:Br]
+        al = audio_lens[:Br]
+        tk, tl = tokens[:Br], token_lens[:Br]
+
+        @jax.jit
+        def fwd_r(p):
+            mm = nnx.merge(gd, p, r)
+            enc, el = mm.encode(a, al, train=False)
+            return ctc_greedy_decode(mm.ctc_logits(enc), el)
+
+        dt = timeit(fwd_r, p, n=5)
+        fl = float(fwd_r.lower(p).compile().cost_analysis().get("flops", 0))
+        emit(f"{tag}_encode_audio_s_per_s", Br * sec / dt, "audio-s/s/chip",
+             mfu=round(fl / dt / (peak_tflops * 1e12), 4))
+
+        txr = make_optimizer(c.train)
+        os_r = txr.init(p)
+
+        @jax.jit
+        def step_r(p, o, k):
+            def loss(p):
+                mm = nnx.merge(gd, p, r)
+                enc, el = mm.encode(a, al, train=True, rng=k)
+                logits = mm.ctc_logits(enc)
+                att = mm.decoder(enc, el, tk, tl, train=True)
+                l, _ = hybrid_loss(logits, el, att, tk, tl,
+                                   c.model.ctc_weight,
+                                   ctc_impl=c.model.ctc_impl)
+                return l
+            g = jax.grad(loss)(p)
+            up, o2 = txr.update(g, o, p)
+            return jax.tree_util.tree_map(lambda x, u: x + u, p, up), o2
+
+        dt = timeit(lambda: step_r(p, os_r, key), n=5)
+        fl = float(step_r.lower(p, os_r, key).compile()
+                   .cost_analysis().get("flops", 0))
+        emit(f"{tag}_train_step_audio_s_per_s", Br * sec / dt,
+             "audio-s/s/chip",
+             mfu=round(fl / dt / (peak_tflops * 1e12), 4))
+
+    if on_tpu:
+        bench_rung("rung4", 16, 512, 2048, 8, 16, remat=False)
+        bench_rung("rung5", 24, 1024, 4096, 16, 8, remat=True)
 
 
 if __name__ == "__main__":

@@ -51,8 +51,11 @@ class LocationAwareAttention(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((A,)))
 
     def precompute(self, enc: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, d_enc) -> projected keys (B, T, A); do once per utterance."""
-        return self.wk(enc).astype(jnp.float32)
+        """(B, T, d_enc) -> projected keys (B, T, A); do once per utterance.
+        Kept in the compute dtype: the keys tensor is re-read at EVERY decode
+        step, so bf16 halves the dominant per-step HBM traffic; the energy
+        sum/tanh below still runs f32."""
+        return self.wk(enc)
 
     def __call__(
         self,
@@ -62,14 +65,15 @@ class LocationAwareAttention(nnx.Module):
         prev_attn: jnp.ndarray,  # (B, T)
         mask: jnp.ndarray,       # (B, T) bool
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        loc = self.conv(prev_attn[..., None]).astype(jnp.float32)  # (B, T, F)
+        dt = self.v.kernel.value.dtype
+        loc = self.conv(prev_attn[..., None].astype(dt))           # (B, T, F)
         s = jnp.tanh(
-            keys
+            keys.astype(jnp.float32)
             + self.wq(query).astype(jnp.float32)[:, None, :]
             + self.wf(loc).astype(jnp.float32)
             + self.bias.value
         )
-        e = self.v(s.astype(self.v.kernel.value.dtype)).astype(jnp.float32)[..., 0]
+        e = self.v(s.astype(dt)).astype(jnp.float32)[..., 0]
         e = jnp.where(mask, e, NEG_INF)
         attn = jax.nn.softmax(e, axis=-1)
         context = jnp.einsum(
@@ -192,6 +196,7 @@ class AttentionDecoder(nnx.Module):
             scan_step,
             (state, jnp.zeros((B,), jnp.int32)),
             (inputs.swapaxes(0, 1), ss_keys),
+            unroll=2,  # halves while-loop trips; body is many small ops
         )
         logps = logps.swapaxes(0, 1)  # (B, U+1, V)
         if return_attn:

@@ -265,16 +265,11 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, diag_ref, o_ref, *,
     qi = pl.program_id(1)
     Tp = k_ref.shape[1]
     Dh = q_ref.shape[2] // heads
+    W = bq + Tp  # lane-aligned diagonal window per q block
     L = lens_ref[pl.program_id(0), 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, Tp), 1)
     key_ok = col < L
     qs = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-    if has_bias:
-        # this q block's diagonal window, expanded per head below
-        start = Tp - 1 - (bq - 1) - qi * bq + (Tp - 1) - (Tp - 1)
-        start = Tp - bq - qi * bq  # (T-1) - (bq-1) - qoff with koff=0
-        w_all = jax.lax.dynamic_slice(
-            diag_ref[...], (0, start), (heads, bq + Tp - 1))
     for h in range(heads):
         sl = slice(h * Dh, (h + 1) * Dh)
         s = jax.lax.dot_general(
@@ -282,10 +277,16 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, diag_ref, o_ref, *,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )                                             # (bq, Tp) f32
         if has_bias:
-            wp = jnp.pad(w_all[h], ((0, 1),))         # (bq+Tp,)
-            blk = jnp.tile(wp, (bq,))[: bq * (bq + Tp - 1)].reshape(
-                bq, bq + Tp - 1)[:, bq - 1 : bq - 1 + Tp]
-            s = s + blk.astype(jnp.float32)
+            # Toeplitz expand on-chip: row i of this q block needs
+            # diag[(Tp-1) + j - (qi*bq + i)] = w_win[(bq-1) - i + j] with
+            # w_win = diag[h, start : start + W]. A single hardware
+            # strided roll shifts row i left by (bq-1) - i — no gather,
+            # no odd-width reshape (Mosaic supports neither).
+            start = pl.multiple_of(Tp - bq * (qi + 1), bq)  # lane-aligned
+            w_win = diag_ref[h, pl.ds(start, W)]      # (W,) f32
+            base = jnp.broadcast_to(w_win[None, :], (bq, W))
+            blk = pltpu.roll(base, W - (bq - 1), 1, stride=1, stride_axis=0)
+            s = s + blk[:, :Tp]
         s = jnp.where(key_ok, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m).astype(v_ref.dtype)
@@ -310,8 +311,10 @@ def _flash_fwd_pallas(q, k, v, diag, lens, heads: int, bq: int = 256):
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     has_bias = diag is not None
     if has_bias:
+        # (H, 2Tp): one extra right pad so every q block's (bq+Tp)-wide
+        # lane-aligned window load stays in bounds (see _flash_kernel)
         diag = jnp.pad(diag.astype(jnp.float32),
-                       ((0, 0), (Tp - T, Tp - T)), mode="edge")
+                       ((0, 0), (Tp - T, Tp - T + 1)), mode="edge")
     else:
         diag = jnp.zeros((1, LANE), jnp.float32)
     nq = Tp // bq
