@@ -187,6 +187,7 @@ def main():
         c.model.encoder_ffn_dim = ffn
         c.model.encoder_heads = heads
         c.model.decoder_dim = d
+        c.model.subsample_channels = 128  # match the rung-4/5 presets
         c.model.remat = remat
         m = AsrModel(c, nnx.Rngs(0))
         gd, p, r = nnx.split(m, nnx.Param, ...)

@@ -99,6 +99,9 @@ def libri960_conformer() -> AsrConfig:
     cfg.model.encoder_dim = 512
     cfg.model.encoder_ffn_dim = 2048
     cfg.model.encoder_heads = 8
+    # decouple subsampling-conv width from d_model: at 512 channels the 2nd
+    # subsample conv alone would cost ~2 conformer layers of FLOPs
+    cfg.model.subsample_channels = 128
     cfg.model.ctc_weight = 0.3
     cfg.model.decoder_dim = 512
     cfg.model.embed_dim = 512

@@ -43,18 +43,30 @@ def synth_digit_audio(
     gap_s: float = 0.06,
     noise: float = 0.01,
     rng: np.random.Generator | None = None,
+    speaker_jitter: float = 0.0,
 ) -> np.ndarray:
+    """With speaker_jitter > 0, a per-UTTERANCE 'speaker' is sampled: a
+    global pitch scale, speaking rate, loudness, and noise floor (the
+    digit's relative tone pattern stays intact). This is the train/dev
+    distribution gap that makes dev WER a generalization measure instead
+    of a memorization one (r1 VERDICT item 10)."""
     rng = rng or np.random.default_rng(0)
+    j = speaker_jitter
+    pitch = 1.0 + j * 0.2 * (rng.random() - 0.5) * 2    # ±20% * j
+    rate = 1.0 + j * 0.3 * (rng.random() - 0.5) * 2     # ±30% * j
+    loud = 0.3 * (1.0 + j * 0.5 * (rng.random() - 0.5) * 2)
+    noise = noise * (1.0 + j * (rng.random() - 0.5) * 2)
     pieces = [np.zeros(int(sr * gap_s), np.float32)]
     for d in digits:
         for f in _digit_freqs(d):
             # jitter duration/freq slightly so the model must generalize
-            dur = tone_s * (1.0 + 0.15 * (rng.random() - 0.5))
-            fj = f * (1.0 + 0.02 * (rng.random() - 0.5))
+            dur = tone_s * rate * (1.0 + 0.15 * (rng.random() - 0.5))
+            fj = f * pitch * (1.0 + 0.02 * (rng.random() - 0.5))
             t = np.arange(int(sr * dur)) / sr
             env = np.hanning(len(t)).astype(np.float32)
-            pieces.append((0.3 * env * np.sin(2 * np.pi * fj * t)).astype(np.float32))
-        pieces.append(np.zeros(int(sr * gap_s * (1 + rng.random())), np.float32))
+            pieces.append((loud * env * np.sin(2 * np.pi * fj * t)).astype(np.float32))
+        pieces.append(np.zeros(int(sr * gap_s * rate * (1 + rng.random())),
+                               np.float32))
     x = np.concatenate(pieces)
     x = x + noise * rng.standard_normal(len(x)).astype(np.float32)
     return x.astype(np.float32)
@@ -69,6 +81,7 @@ def make_digits_corpus(
     max_digits: int = 5,
     sr: int = 16000,
     seed: int = 0,
+    speaker_jitter: float = 0.0,
 ) -> dict[str, Path]:
     """Generate WAVs + manifests. Returns {'train': path, 'dev': ..., 'test': ...}."""
     out_dir = Path(out_dir)
@@ -81,7 +94,8 @@ def make_digits_corpus(
         for i in range(n):
             k = int(rng.integers(min_digits, max_digits + 1))
             digits = rng.integers(0, 10, size=k).tolist()
-            x = synth_digit_audio(digits, sr=sr, rng=rng)
+            x = synth_digit_audio(digits, sr=sr, rng=rng,
+                                  speaker_jitter=speaker_jitter)
             uid = f"{split}_{i:05d}"
             wav_path = out_dir / "wav" / f"{uid}.wav"
             write_wav(wav_path, x, sr)

@@ -57,6 +57,18 @@ class LocationAwareAttention(nnx.Module):
         sum/tanh below still runs f32."""
         return self.wk(enc)
 
+    def _loc_features(self, prev_attn: jnp.ndarray) -> jnp.ndarray:
+        """conv1d(prev_attn) as unfold + matmul. The single-input-channel
+        conv_general_dilated picks a T(1,128) layout whose backward costs
+        ~2 ms/step inside the scan's while loop; K static shifted slices +
+        one (B·T, K)@(K, F) dot keep both directions on friendly layouts."""
+        w = self.conv.kernel.value                      # (K, 1, F)
+        K = w.shape[0]
+        B, T = prev_attn.shape
+        ap = jnp.pad(prev_attn, ((0, 0), ((K - 1) // 2, K // 2)))
+        shifts = jnp.stack([ap[:, k: k + T] for k in range(K)], axis=-1)
+        return jnp.einsum("btk,kof->btf", shifts, w.astype(prev_attn.dtype))
+
     def __call__(
         self,
         query: jnp.ndarray,      # (B, d_dec)
@@ -66,7 +78,7 @@ class LocationAwareAttention(nnx.Module):
         mask: jnp.ndarray,       # (B, T) bool
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         dt = self.v.kernel.value.dtype
-        loc = self.conv(prev_attn[..., None].astype(dt))           # (B, T, F)
+        loc = self._loc_features(prev_attn.astype(dt))             # (B, T, F)
         s = jnp.tanh(
             keys.astype(jnp.float32)
             + self.wq(query).astype(jnp.float32)[:, None, :]
@@ -182,13 +194,19 @@ class AttentionDecoder(nnx.Module):
             else jnp.zeros((U + 1, 2), jnp.uint32)
         )
 
+        # Remat the step body when training: without it the scan stacks the
+        # (B, T, A)-sized tanh/score intermediates for the backward —
+        # ~30 MB/step, ~2 GB of HBM traffic per train step at the flagship
+        # shape. Recomputing them from the (small) carry is far cheaper.
+        step_fn = jax.checkpoint(self.step) if train else self.step
+
         def scan_step(carry, inp):
             state, prev_pred = carry
             tok_in, ss_key = inp
             if use_ss:
                 coin = jax.random.uniform(ss_key, (B,)) < scheduled_sampling
                 tok_in = jnp.where(coin, prev_pred, tok_in)
-            logp, state, attn = self.step(tok_in, state, keys, enc, mask)
+            logp, state, attn = step_fn(tok_in, state, keys, enc, mask)
             pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             return (state, pred), (logp, attn)
 

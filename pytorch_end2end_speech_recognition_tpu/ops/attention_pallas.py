@@ -86,7 +86,7 @@ def _attention_fwd_pallas(q, k, v, bias, lens, heads: int):
     if Tp != T:
         pad = ((0, 0), (0, Tp - T), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        if bias is not None:
+        if bias is not None and bias.shape[-1] != Tp:
             bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
     has_bias = bias is not None
     if not has_bias:  # dummy operand keeps one kernel signature
@@ -176,10 +176,11 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
     B, T, D = q.shape
     Dh = D // heads
     Tp = _round_up(T, LANE)
+    pre_padded = bias is not None and bias.shape[-1] == Tp != T
     if Tp != T:
         pad = ((0, 0), (0, Tp - T), (0, 0))
         q, k, v, g = (jnp.pad(a, pad) for a in (q, k, v, g))
-        if bias is not None:
+        if bias is not None and not pre_padded:
             bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
     has_bias = bias is not None
     bias_in = bias if has_bias else jnp.zeros((1, 8, LANE), q.dtype)
@@ -231,9 +232,12 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
         out = x.transpose(1, 2, 0, 3).reshape(B, Tp, D)[:, :T]
         return out.astype(ref.dtype)
 
-    dbias_out = (
-        dbias[:, :T, :T].astype(bias.dtype) if has_bias else None
-    )
+    if not has_bias:
+        dbias_out = None
+    elif pre_padded:  # cotangent must match the (H, Tp, Tp) bias shape
+        dbias_out = dbias.astype(bias.dtype)
+    else:
+        dbias_out = dbias[:, :T, :T].astype(bias.dtype)
     return merge(dq, q), merge(dk, k), merge(dv, v), dbias_out
 
 
@@ -253,6 +257,121 @@ def toeplitz_expand(diag: jnp.ndarray, Tq: int, Tk: int, qoff=0, koff=0,
     wp = jnp.pad(w, ((0, 0), (0, 1)))                    # (H, Tq+Tk)
     flat = jnp.tile(wp, (1, Tq))[:, : Tq * (Tq + Tk - 1)]
     return flat.reshape(H, Tq, Tq + Tk - 1)[:, :, Tq - 1 : Tq - 1 + Tk]
+
+
+def _toep_expand_kernel(diag_ref, out_ref):
+    """(1, 2Tp) f32 diagonals -> (1, Tp, Tp) dense Toeplitz block.
+    out[i, j] = diag[(Tp-1) + j - i], built with ONE hardware strided roll
+    (row i shifts by i lanes) — the HLO pad+tile+odd-width-reshape version
+    of this relayout costs ~6 ms/step at the flagship shape because the VPU
+    hates the 2T-1 stride; this kernel streams at HBM speed."""
+    Tp = out_ref.shape[1]
+    W = diag_ref.shape[2]                                  # 2*Tp
+    base = jnp.broadcast_to(diag_ref[0], (Tp, W))
+    blk = pltpu.roll(base, W - (Tp - 1), 1, stride=1, stride_axis=0)
+    out_ref[0] = blk[:, :Tp].astype(out_ref.dtype)
+
+
+def _toep_reduce_kernel(g_ref, out_ref):
+    """Transpose of _toep_expand_kernel. Input is the cotangent with rows
+    PRE-REVERSED by the caller (grev[i'] = g[Tp-1-i']; lax.rev doesn't
+    lower on Mosaic and strides >1 crash tpu.dynamic_rotate, so the flip
+    rides the XLA side). The same stride-1 roll as the forward then aligns
+    every diagonal into a column: rolled row i' holds g[i, (j + i) mod W]
+    with i = Tp-1-i', so out[j] = sum_i g[i, i + j] (j mod 2Tp) — the
+    per-diagonal sums, no scatter-add."""
+    Tp = g_ref.shape[1]
+    W = 2 * Tp
+    gp = jnp.concatenate(
+        [g_ref[0].astype(jnp.float32), jnp.zeros((Tp, Tp), jnp.float32)],
+        axis=1)                                            # (Tp, 2Tp)
+    rolled = pltpu.roll(gp, W - (Tp - 1), 1, stride=1, stride_axis=0)
+    out_ref[0] = jnp.sum(rolled, axis=0, keepdims=True)
+
+
+def _toeplitz_dense_hlo(diag, T: int, pad_to: int, dtype):
+    N = diag.shape[0]
+    out = toeplitz_expand(diag, T, T).astype(dtype)
+    if pad_to != T:
+        out = jnp.pad(out, ((0, 0), (0, pad_to - T), (0, pad_to - T)))
+    return out
+
+
+def _toeplitz_reduce_hlo(g, T: int):
+    """HLO per-diagonal sums of g (N, T, T): dd[(T-1)+j-i] += g[i, j].
+    Positive diagonals via the widening-reshape shift (row r moves LEFT by
+    r), negative via the same on g^T; both are streaming relayouts."""
+    N = g.shape[0]
+    g = g.astype(jnp.float32)
+
+    def diag_sums(x):  # (N, T, T) -> (N, T) with out[c] = sum_r x[r, r+c]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, T)))          # (N, T, 2T)
+        flat = jnp.concatenate(
+            [xp.reshape(N, -1), jnp.zeros((N, T), jnp.float32)], axis=1)
+        return jnp.sum(flat.reshape(N, T, 2 * T + 1), axis=1)[:, :T]
+
+    pos = diag_sums(g)                                     # j - i = c >= 0
+    neg = diag_sums(g.swapaxes(1, 2))                      # i - j = c >= 0
+    return jnp.concatenate([neg[:, 1:][:, ::-1], pos], axis=1)  # (N, 2T-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def toeplitz_dense(diag, T: int, pad_to: int, dtype):
+    """Expand rel-position diagonals (N, 2T-1) into dense bias blocks
+    (N, pad_to, pad_to) with out[n, i, j] = diag[n, (T-1) + j - i] for
+    i, j < T and edge values in the pad band (masked away downstream).
+    Forward AND backward are single-roll Pallas kernels on TPU (the HLO
+    relayout pair was ~6 ms/step on the flagship train step); streaming
+    HLO reshapes elsewhere. Grads flow to `diag`."""
+    if jax.default_backend() in ("cpu",):
+        return _toeplitz_dense_hlo(diag, T, pad_to, dtype)
+    N = diag.shape[0]
+    Tp = pad_to
+    dpad = jnp.pad(diag.astype(jnp.float32),
+                   ((0, 0), (Tp - T, Tp - T + 1)), mode="edge")  # (N, 2Tp)
+    return pl.pallas_call(
+        _toep_expand_kernel,
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, 1, 2 * Tp), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, Tp, Tp), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Tp, Tp), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=N * Tp * Tp * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(dpad[:, None])
+
+
+def _toeplitz_dense_fwd(diag, T, pad_to, dtype):
+    # residual: a 0-size array carrying only diag's dtype for the cotangent
+    return toeplitz_dense(diag, T, pad_to, dtype), jnp.zeros((0,), diag.dtype)
+
+
+def _toeplitz_dense_bwd(T, pad_to, dtype, res, g):
+    diag_dtype = res.dtype
+    if jax.default_backend() in ("cpu",):
+        dd = _toeplitz_reduce_hlo(g[:, :T, :T], T)
+        return (dd.astype(diag_dtype),)
+    N, Tp = g.shape[0], pad_to
+    s = pl.pallas_call(
+        _toep_reduce_kernel,
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, Tp, Tp), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2 * Tp), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 1, 2 * Tp), jnp.float32),
+    )(g[:, ::-1])[:, 0]
+    # s[n, c] = diagonal (j - i) = c of g[n] (c mod 2Tp); recenter at Tp-1
+    # then cut the (2T-1) window that maps back onto the input diagonals.
+    dd = jnp.roll(s, Tp - 1, axis=1)[:, Tp - T: Tp - T + 2 * T - 1]
+    return (dd.astype(diag_dtype),)
+
+
+toeplitz_dense.defvjp(_toeplitz_dense_fwd, _toeplitz_dense_bwd)
 
 
 def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, diag_ref, o_ref, *,

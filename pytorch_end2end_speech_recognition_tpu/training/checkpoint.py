@@ -22,7 +22,10 @@ def _default_meta() -> dict:
     return {
         "step": np.asarray(0),
         "best_wer": np.asarray(0.0, np.float32),
-        "rng": np.zeros((2,), np.uint32),
+        # fixed 4-word slot: threefry keys are 2 uint32s, rbg keys 4; the
+        # actual width rides in rng_len and save/restore pad/slice to it
+        "rng": np.zeros((4,), np.uint32),
+        "rng_len": np.asarray(2),
         "cursor_epoch": np.asarray(0),
         "cursor_batch": np.asarray(0),
         "lr_scale": np.asarray(1.0, np.float32),
@@ -40,7 +43,11 @@ def save_checkpoint(
     meta["step"] = np.asarray(step)
     meta["best_wer"] = np.asarray(best_wer, np.float32)
     for k, v in (extra_meta or {}).items():
-        meta[k] = np.asarray(v, meta[k].dtype).reshape(meta[k].shape)
+        v = np.asarray(v, meta[k].dtype)
+        if k == "rng":  # zero-pad narrower key impls into the 4-word slot
+            meta["rng_len"] = np.asarray(v.size)
+            v = np.pad(v.reshape(-1), (0, meta[k].size - v.size))
+        meta[k] = v.reshape(meta[k].shape)
     tree = {"params": params, "opt_state": opt_state, "meta": meta}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()

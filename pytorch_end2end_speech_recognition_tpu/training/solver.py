@@ -56,6 +56,11 @@ class Solver:
         cfg.model.vocab_size = tokenizer.vocab_size
         self.mesh = mesh
         self.rngs_seed = cfg.train.seed
+        from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+            configure_prng,
+        )
+
+        configure_prng(cfg.train.prng_impl)  # before any PRNGKey below
         self.model = model or AsrModel(cfg, nnx.Rngs(cfg.train.seed),
                                        mesh=mesh)
         self.graphdef, self.params, self.rest = nnx.split(
@@ -357,11 +362,10 @@ class Solver:
         self.opt_state = data["opt_state"]
         self.step = int(data["step"])
         self.best_wer = float(data["best_wer"])
-        self._key = jax.random.wrap_key_data(
-            jnp.asarray(data["rng"], jnp.uint32)
-        ) if jax.dtypes.issubdtype(
+        rng = jnp.asarray(data["rng"], jnp.uint32)[: int(data["rng_len"])]
+        self._key = jax.random.wrap_key_data(rng) if jax.dtypes.issubdtype(
             self._key.dtype, jax.dtypes.prng_key
-        ) else jnp.asarray(data["rng"], jnp.uint32)
+        ) else rng
         self.cursor_epoch = int(data["cursor_epoch"])
         self.cursor_batch = int(data["cursor_batch"])
         self.lr_scale = float(data["lr_scale"])

@@ -64,6 +64,11 @@ class ModelConfig:
     pyramid_layers: int = 3
     vgg_frontend: bool = False       # conv2d feature extractor before RNN stack
     conv_subsample: int = 4          # transformer/conformer conv2d subsampling factor
+    # channels of the 2-layer subsampling convs; 0 -> encoder_dim. The 2nd
+    # conv's FLOPs scale with channels^2 and at channels=encoder_dim it can
+    # rival a whole conformer layer; 64 is the production sweet spot (NeMo
+    # conformer's subsampling_conv_channels) with negligible WER effect.
+    subsample_channels: int = 0
     conformer_kernel: int = 15
     pos_encoding: str = "relative"   # 'relative' | 'absolute' for transformer/conformer
     # decoder: 'lstm' (location-aware attention speller) | 'transformer'
@@ -161,6 +166,12 @@ class TrainConfig:
     dp: int = 1                      # data-parallel axis size ('data')
     tp: int = 1                      # tensor-parallel axis size ('model')
     donate: bool = True
+    # PRNG implementation for training randomness (dropout/SpecAugment/
+    # scheduled sampling): 'rbg' rides the TPU hardware RNG and is much
+    # cheaper than 'threefry2x32', whose counters XLA fuses into every
+    # dropout matmul (profiled ~30% MFU on the FFN dots). threefry remains
+    # available for bit-exact cross-platform reproducibility.
+    prng_impl: str = "rbg"
 
 
 @dataclass

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
@@ -127,3 +128,78 @@ def test_encoder_long_T_uses_diag_path(rng):
     assert y_x.shape[1] > FLASH_T  # padded frame length selects the diag path
     np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_p), rtol=2e-4,
                                atol=2e-4)
+
+
+class TestToeplitzDense:
+    """Roll-kernel Toeplitz expansion + its diagonal-sum backward vs the
+    HLO reshape oracle (the pair replaces ~6 ms/step of VPU-hostile HLO
+    relayout on the flagship train step)."""
+
+    def _oracle(self, diag, T):
+        H = diag.shape[0]
+        idx = (T - 1) + np.arange(T)[None, :] - np.arange(T)[:, None]
+        return np.stack([d[idx] for d in np.asarray(diag)])
+
+    @pytest.mark.parametrize("T,Tp", [(96, 128), (250, 256), (128, 128)])
+    def test_expand_matches_oracle(self, rng, T, Tp):
+        from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
+            _toeplitz_dense_hlo,
+            toeplitz_dense,
+        )
+
+        N = 6
+        diag = jnp.asarray(rng.standard_normal((N, 2 * T - 1)), jnp.float32)
+        ref = self._oracle(diag, T)
+        hlo = _toeplitz_dense_hlo(diag, T, Tp, jnp.float32)
+        np.testing.assert_allclose(np.asarray(hlo[:, :T, :T]), ref,
+                                   rtol=1e-6, atol=1e-6)
+        with pltpu.force_tpu_interpret_mode():
+            from pytorch_end2end_speech_recognition_tpu.ops import (
+                attention_pallas as ap,
+            )
+
+            dpad = jnp.pad(diag, ((0, 0), (Tp - T, Tp - T + 1)), mode="edge")
+            out = pl.pallas_call(
+                ap._toep_expand_kernel,
+                grid=(N,),
+                in_specs=[pl.BlockSpec((1, 1, 2 * Tp), lambda n: (n, 0, 0))],
+                out_specs=pl.BlockSpec((1, Tp, Tp), lambda n: (n, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((N, Tp, Tp), jnp.float32),
+            )(dpad[:, None])
+        np.testing.assert_allclose(np.asarray(out[:, :T, :T]), ref,
+                                   rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("T,Tp", [(96, 128), (250, 256)])
+    def test_backward_matches_autodiff_oracle(self, rng, T, Tp):
+        from pytorch_end2end_speech_recognition_tpu.ops import (
+            attention_pallas as ap,
+        )
+
+        N = 4
+        diag = jnp.asarray(rng.standard_normal((N, 2 * T - 1)), jnp.float32)
+        ct = jnp.asarray(rng.standard_normal((N, Tp, Tp)), jnp.float32)
+        # zero cotangent in the pad band, as the attention bwd guarantees
+        ct = ct.at[:, T:, :].set(0.0).at[:, :, T:].set(0.0)
+
+        def oracle_loss(d):
+            idx = (T - 1) + jnp.arange(T)[None, :] - jnp.arange(T)[:, None]
+            dense = d[:, idx]
+            return jnp.sum(dense * ct[:, :T, :T])
+
+        want = jax.grad(oracle_loss)(diag)
+        # HLO reduce path
+        got_hlo = ap._toeplitz_reduce_hlo(ct[:, :T, :T], T)
+        np.testing.assert_allclose(np.asarray(got_hlo), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # Pallas reduce kernel (interpret mode)
+        with pltpu.force_tpu_interpret_mode():
+            s = pl.pallas_call(
+                ap._toep_reduce_kernel,
+                grid=(N,),
+                in_specs=[pl.BlockSpec((1, Tp, Tp), lambda n: (n, 0, 0))],
+                out_specs=pl.BlockSpec((1, 1, 2 * Tp), lambda n: (n, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((N, 1, 2 * Tp), jnp.float32),
+            )(ct[:, ::-1])[:, 0]
+        got = jnp.roll(s, Tp - 1, axis=1)[:, Tp - T: Tp - T + 2 * T - 1]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
