@@ -32,12 +32,17 @@ def metrics_path_of(config: str, overrides: list[str]) -> Path:
 
 
 def run_supervised(argv: list[str], metrics: Path, hang_timeout: float,
-                   max_restarts: int, poll_s: float = 10.0) -> int:
+                   max_restarts: int, poll_s: float = 10.0,
+                   launcher: list[str] | None = None) -> int:
+    """Supervision loop. `launcher` defaults to the train CLI; tests inject
+    a stand-in child so the kill/restart paths run in seconds."""
     restarts = 0
     resume = False
+    if launcher is None:
+        launcher = [sys.executable, "-m",
+                    "pytorch_end2end_speech_recognition_tpu.cli.train"]
     while True:
-        cmd = [sys.executable, "-m",
-               "pytorch_end2end_speech_recognition_tpu.cli.train"] + argv
+        cmd = list(launcher) + argv
         if resume and "--resume" not in cmd:
             cmd.append("--resume")
         print(f"[supervise] launching (restart {restarts}): {' '.join(cmd)}",
