@@ -39,7 +39,9 @@ def main(argv=None):
     from pytorch_end2end_speech_recognition_tpu.cli.train import load_config
     from pytorch_end2end_speech_recognition_tpu.data.dataset import BucketedLoader
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
-    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import Tokenizer
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        load_for_config,
+    )
     from pytorch_end2end_speech_recognition_tpu.metrics.wer import ErrorStats
     from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
     from pytorch_end2end_speech_recognition_tpu.utils.config import parse_overrides
@@ -55,7 +57,7 @@ def main(argv=None):
     if args.lm_weight is not None:
         cfg.decode.lm_weight = args.lm_weight
 
-    tok = Tokenizer.load(cfg.data.tokenizer_path)
+    tok = load_for_config(cfg)
     solver = Solver(cfg, tok)
     solver.load_checkpoint(args.checkpoint_tag)
 

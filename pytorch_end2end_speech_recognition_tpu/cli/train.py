@@ -97,6 +97,11 @@ def main(argv=None):
         tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts])
         if cfg.data.tokenizer_path:
             tok.save(cfg.data.tokenizer_path)
+    # always drop a copy next to the checkpoints so decode/transcribe can
+    # resolve the vocab without data.tokenizer_path (tokenizer.load_for_config)
+    ckpt_dir = Path(cfg.train.checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    tok.save(ckpt_dir / "tokenizer.json")
     shard_index, num_shards = host_shard_info()
     mesh = None
     if num_shards > 1 or cfg.train.dp * cfg.train.tp > 1:

@@ -143,11 +143,13 @@ def main(argv=None):
 
     from pytorch_end2end_speech_recognition_tpu.cli.train import load_config
     from pytorch_end2end_speech_recognition_tpu.data.manifest import read_manifest
-    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import Tokenizer
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        load_for_config,
+    )
     from pytorch_end2end_speech_recognition_tpu.utils.config import parse_overrides
 
     cfg = parse_overrides(load_config(args.config), args.set)
-    tok = Tokenizer.load(cfg.data.tokenizer_path)
+    tok = load_for_config(cfg)
     texts = [u.text for u in read_manifest(cfg.data.train_manifest)]
     if args.extra_text:
         texts += Path(args.extra_text).read_text().splitlines()

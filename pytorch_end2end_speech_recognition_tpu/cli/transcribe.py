@@ -50,7 +50,9 @@ def main(argv=None):
         read_wav,
         resample,
     )
-    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import Tokenizer
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        load_for_config,
+    )
     from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
     from pytorch_end2end_speech_recognition_tpu.utils.config import (
         parse_overrides,
@@ -61,7 +63,7 @@ def main(argv=None):
         cfg.decode.beam_size = args.beam_size
     if args.lm_weight is not None:
         cfg.decode.lm_weight = args.lm_weight
-    tok = Tokenizer.load(cfg.data.tokenizer_path)
+    tok = load_for_config(cfg)
     solver = Solver(cfg, tok)
     solver.load_checkpoint(args.checkpoint_tag)
     model = solver.merged_model()

@@ -183,3 +183,32 @@ def build_tokenizer(kind: str, corpus: list[str], vocab_size: int = 256) -> Toke
     if kind == "bpe":
         return BpeTokenizer(corpus, vocab_size=vocab_size)
     raise ValueError(f"unknown tokenizer kind {kind}")
+
+
+def load_for_config(cfg) -> Tokenizer:
+    """Resolve the tokenizer for a trained experiment.
+
+    Order: explicit `data.tokenizer_path` -> the copy `cli/train.py` drops
+    next to the checkpoints -> deterministic rebuild from the train
+    manifest (CharTokenizer/BpeTokenizer construction is corpus-ordered and
+    reproducible). Decode/transcribe CLIs use this so a config that never
+    set `tokenizer_path` still round-trips train -> decode.
+    """
+    p = cfg.data.tokenizer_path
+    if p and Path(p).is_file():
+        return Tokenizer.load(p)
+    ckpt_tok = Path(cfg.train.checkpoint_dir) / "tokenizer.json"
+    if ckpt_tok.is_file():
+        return Tokenizer.load(ckpt_tok)
+    if cfg.data.train_manifest and Path(cfg.data.train_manifest).is_file():
+        from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+            read_manifest,
+        )
+
+        utts = read_manifest(cfg.data.train_manifest)
+        return build_tokenizer(cfg.data.tokenizer,
+                               [u.text for u in utts])
+    raise FileNotFoundError(
+        "no tokenizer: set data.tokenizer_path, or keep the tokenizer.json "
+        f"saved by training under {cfg.train.checkpoint_dir}, or make the "
+        "train manifest readable for a rebuild")

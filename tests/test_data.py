@@ -161,3 +161,39 @@ def test_compilation_cache_roundtrip(tmp_path):
         f"re-trace after clear_caches did not hit the persistent cache "
         f"(events: {sorted(set(events))})"
     )
+
+
+def test_tokenizer_load_for_config_fallbacks(tmp_path, digits_corpus):
+    """decode/transcribe resolve the vocab even when data.tokenizer_path is
+    unset: ckpt-dir copy first, then deterministic rebuild from the train
+    manifest (r2: train->decode round-trip without explicit tokenizer_path)."""
+    import pytest
+
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+        load_for_config,
+    )
+
+    manifests = digits_corpus
+    utts = read_manifest(manifests["train"])
+    cfg = AsrConfig()
+    cfg.data.tokenizer_path = ""
+    cfg.data.train_manifest = str(manifests["train"])
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+
+    # 1) ckpt-dir copy wins when present
+    (tmp_path / "ckpt").mkdir()
+    ref = CharTokenizer([u.text for u in utts])
+    ref.save(tmp_path / "ckpt" / "tokenizer.json")
+    tok = load_for_config(cfg)
+    assert tok.vocab == ref.vocab
+
+    # 2) no ckpt copy -> rebuilt from the train manifest, identical vocab
+    (tmp_path / "ckpt" / "tokenizer.json").unlink()
+    tok2 = load_for_config(cfg)
+    assert tok2.vocab == ref.vocab
+
+    # 3) nothing resolvable -> clear error
+    cfg.data.train_manifest = str(tmp_path / "missing.jsonl")
+    with pytest.raises(FileNotFoundError):
+        load_for_config(cfg)
