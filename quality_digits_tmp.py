@@ -63,6 +63,7 @@ def build_cfg(workdir: Path, corpus_dir: Path, steps: int) -> AsrConfig:
 def main():
     workdir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/digits_quality")
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    overrides = sys.argv[3:]  # k=v applied via cfg.override
     workdir.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     corpus_dir = workdir / "corpus"
@@ -71,6 +72,9 @@ def main():
                            min_digits=1, max_digits=7, speaker_jitter=1.0)
         print(f"corpus: {time.time()-t0:.0f}s", flush=True)
     cfg = build_cfg(workdir, corpus_dir, steps)
+    for kv in overrides:
+        k, v = kv.split("=", 1)
+        cfg.override(k, v)
     cfg_path = workdir / "config.json"
     cfg_path.write_text(cfg.to_json())
 
