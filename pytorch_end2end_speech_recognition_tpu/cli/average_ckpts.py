@@ -38,6 +38,11 @@ def average_checkpoints(ckpt_dir: str, tags: list[str],
 
     if len(tags) < 1:
         raise ValueError("need at least one checkpoint tag to average")
+    if out_tag in ("last", "best") or out_tag.startswith("step_"):
+        raise ValueError(
+            f"--out-tag {out_tag!r} collides with a source checkpoint tag "
+            "(last/best/step_*); averaging would rmtree a real checkpoint. "
+            "Pick a distinct name like 'avg'.")
     ckptr = ocp.StandardCheckpointer()
     base = Path(ckpt_dir)
     trees = [ckptr.restore((base / t).absolute()) for t in tags]
@@ -65,6 +70,10 @@ def pick_last_n(ckpt_dir: str, n: int) -> list[str]:
         raise FileNotFoundError(
             f"no step_* checkpoints under {ckpt_dir}; train with "
             "train.checkpoint_every set, or pass --tags explicitly")
+    if len(steps) < n:
+        print(f"[average_ckpts] WARNING: only {len(steps)} step_* "
+              f"checkpoints under {ckpt_dir}, averaging fewer than the "
+              f"requested {n}", file=sys.stderr)
     return list(reversed(steps[-n:]))  # newest first
 
 

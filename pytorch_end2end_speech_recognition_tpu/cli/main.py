@@ -14,6 +14,11 @@ import sys
 
 
 def main(argv=None):
+    from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--test" in argv:
         argv.remove("--test")

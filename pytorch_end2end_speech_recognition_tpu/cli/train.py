@@ -91,18 +91,29 @@ def main(argv=None):
 
     cfg = parse_overrides(load_config(args.config), args.set)
     train_utts = read_manifest(cfg.data.train_manifest)
+    shard_index, num_shards = host_shard_info()
+    ckpt_dir = Path(cfg.train.checkpoint_dir)
+    ckpt_tok = ckpt_dir / "tokenizer.json"
     if cfg.data.tokenizer_path and Path(cfg.data.tokenizer_path).exists():
         tok = Tokenizer.load(cfg.data.tokenizer_path)
+    elif ckpt_tok.exists():
+        # authoritative copy from a previous run of this experiment: --resume
+        # must not swap the vocab mid-training by rebuilding from a
+        # possibly-changed manifest
+        tok = Tokenizer.load(ckpt_tok)
     else:
         tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts])
         if cfg.data.tokenizer_path:
             tok.save(cfg.data.tokenizer_path)
-    # always drop a copy next to the checkpoints so decode/transcribe can
-    # resolve the vocab without data.tokenizer_path (tokenizer.load_for_config)
-    ckpt_dir = Path(cfg.train.checkpoint_dir)
+    # drop a copy next to the checkpoints so decode/transcribe can resolve
+    # the vocab without data.tokenizer_path (tokenizer.load_for_config).
+    # Never overwrite an existing copy; process 0 only, atomic tmp+rename
+    # (the ckpt dir may be shared GCS/NFS written by many hosts at once).
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    tok.save(ckpt_dir / "tokenizer.json")
-    shard_index, num_shards = host_shard_info()
+    if not ckpt_tok.exists() and shard_index == 0:
+        tmp_tok = ckpt_tok.with_name("tokenizer.json.tmp")
+        tok.save(tmp_tok)
+        tmp_tok.replace(ckpt_tok)
     mesh = None
     if num_shards > 1 or cfg.train.dp * cfg.train.tp > 1:
         import jax

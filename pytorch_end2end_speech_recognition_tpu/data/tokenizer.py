@@ -39,6 +39,16 @@ class Tokenizer:
     def decode(self, ids: list[int] | np.ndarray) -> str:
         raise NotImplementedError
 
+    def vocab_hash(self) -> int:
+        """Stable uint32 fingerprint of the vocab, stored in checkpoint meta
+        so decode/transcribe can detect a tokenizer/checkpoint mismatch
+        (e.g. the train manifest changed and a rebuild produced a different
+        vocab with the same size — silent garbage transcripts otherwise)."""
+        import zlib
+
+        payload = json.dumps([self.kind, self.vocab], ensure_ascii=False)
+        return zlib.crc32(payload.encode("utf-8")) & 0xFFFFFFFF
+
     def save(self, path: str | Path) -> None:
         Path(path).write_text(
             json.dumps({"kind": self.kind, **self._state()}, ensure_ascii=False)
@@ -201,10 +211,21 @@ def load_for_config(cfg) -> Tokenizer:
     if ckpt_tok.is_file():
         return Tokenizer.load(ckpt_tok)
     if cfg.data.train_manifest and Path(cfg.data.train_manifest).is_file():
+        import sys
+
         from pytorch_end2end_speech_recognition_tpu.data.manifest import (
             read_manifest,
         )
 
+        print(
+            "[tokenizer] WARNING: no saved tokenizer found "
+            f"(data.tokenizer_path unset, no {ckpt_tok}); rebuilding from "
+            f"{cfg.data.train_manifest}. If that manifest changed since "
+            "training, the vocab may not match the checkpoint — transcripts "
+            "would be garbage. Checkpoint meta carries a vocab hash; "
+            "Solver.load_checkpoint raises on mismatch.",
+            file=sys.stderr,
+        )
         utts = read_manifest(cfg.data.train_manifest)
         return build_tokenizer(cfg.data.tokenizer,
                                [u.text for u in utts])

@@ -62,7 +62,7 @@ class LocationAwareAttention(nnx.Module):
         conv_general_dilated picks a T(1,128) layout whose backward costs
         ~2 ms/step inside the scan's while loop; K static shifted slices +
         one (B·T, K)@(K, F) dot keep both directions on friendly layouts."""
-        w = self.conv.kernel.value                      # (K, 1, F)
+        w = self.conv.kernel[...]                      # (K, 1, F)
         K = w.shape[0]
         B, T = prev_attn.shape
         ap = jnp.pad(prev_attn, ((0, 0), ((K - 1) // 2, K // 2)))
@@ -77,13 +77,13 @@ class LocationAwareAttention(nnx.Module):
         prev_attn: jnp.ndarray,  # (B, T)
         mask: jnp.ndarray,       # (B, T) bool
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        dt = self.v.kernel.value.dtype
+        dt = self.v.kernel[...].dtype
         loc = self._loc_features(prev_attn.astype(dt))             # (B, T, F)
         s = jnp.tanh(
             keys.astype(jnp.float32)
             + self.wq(query).astype(jnp.float32)[:, None, :]
             + self.wf(loc).astype(jnp.float32)
-            + self.bias.value
+            + self.bias[...]
         )
         e = self.v(s.astype(dt)).astype(jnp.float32)[..., 0]
         e = jnp.where(mask, e, NEG_INF)

@@ -90,7 +90,7 @@ class LstmParams(nnx.Module):
         self.bias = nnx.Param(b.at[d_hid : 2 * d_hid].set(1.0))
 
     def tup(self):
-        return (self.w_ih.value, self.w_hh.value, self.bias.value)
+        return (self.w_ih[...], self.w_hh[...], self.bias[...])
 
 
 class BiLstmLayer(nnx.Module):
@@ -298,10 +298,10 @@ class RelPosBias(nnx.Module):
         expansion fwd AND bwd run as single-roll Pallas kernels emitting
         (L, 1, H, Tp, Tp) directly — the HLO relayout pair cost ~6 ms/step
         at the flagship shape (r1 VERDICT 'What's weak' #1)."""
-        L, H, _ = self.table.value.shape
+        L, H, _ = self.table[...].shape
         rel = jnp.arange(-(T - 1), T)[None, :]                   # (1, 2T-1)
         idx = self._bucket(rel)[0]                               # (2T-1,)
-        diag = self.table.value[:, :, idx].astype(dtype)         # (L,H,2T-1)
+        diag = self.table[...][:, :, idx].astype(dtype)         # (L,H,2T-1)
         if pad_to is not None:
             from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (  # noqa: E501
                 toeplitz_dense,
@@ -323,7 +323,7 @@ class RelPosBias(nnx.Module):
         only the (q-block, k-block) they need instead of (H, T, T) in HBM."""
         rel = jnp.arange(-(T - 1), T)[None, :]
         idx = self._bucket(rel)[0]
-        return self.table.value[:, :, idx].astype(dtype)
+        return self.table[...][:, :, idx].astype(dtype)
 
 
 FLASH_T = 768  # beyond this, dense (H, T, T) biases leave VMEM reach:
@@ -469,7 +469,7 @@ class MhsaBlock(nnx.Module):
 
 
 def _dt_of(linear: nnx.Linear):
-    return linear.kernel.value.dtype
+    return linear.kernel[...].dtype
 
 
 class FfnBlock(nnx.Module):

@@ -30,6 +30,8 @@ def _default_meta() -> dict:
         "cursor_batch": np.asarray(0),
         "lr_scale": np.asarray(1.0, np.float32),
         "evals_since_best": np.asarray(0),
+        # crc32 of the tokenizer vocab (0 = unknown, for pre-r3 checkpoints)
+        "vocab_hash": np.asarray(0, np.uint32),
     }
 
 

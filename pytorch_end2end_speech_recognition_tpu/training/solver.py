@@ -141,7 +141,7 @@ class Solver:
                 lambda p, u: p + lr_scale * u, params, updates
             )
             gnorm = jnp.sqrt(
-                sum(jnp.sum(g.value**2) if hasattr(g, "value") else jnp.sum(g**2)
+                sum(jnp.sum(g[...] ** 2)
                     for g in jax.tree_util.tree_leaves(grads))
             )
             metrics = dict(metrics)
@@ -322,6 +322,7 @@ class Solver:
             "cursor_batch": self.cursor_batch,
             "lr_scale": self.lr_scale,
             "evals_since_best": self._evals_since_best,
+            "vocab_hash": self.tokenizer.vocab_hash(),
         }
 
     def save_checkpoint(self, tag: str = "last"):
@@ -358,6 +359,16 @@ class Solver:
             self.cfg.train.checkpoint_dir, tag,
             params_like=self.params, opt_state_like=self.opt_state,
         )
+        saved_hash = int(data.get("vocab_hash", 0))
+        if saved_hash and saved_hash != self.tokenizer.vocab_hash():
+            raise ValueError(
+                f"tokenizer/checkpoint mismatch: checkpoint '{tag}' under "
+                f"{self.cfg.train.checkpoint_dir} was trained with a "
+                f"different vocab (hash {saved_hash:#010x} != current "
+                f"{self.tokenizer.vocab_hash():#010x}). Point "
+                "data.tokenizer_path at the tokenizer.json saved with the "
+                "checkpoint instead of rebuilding from a changed manifest."
+            )
         self.params = data["params"]
         self.opt_state = data["opt_state"]
         self.step = int(data["step"])

@@ -46,3 +46,21 @@ def test_pick_last_n_subset_and_missing(tmp_path):
                                              "step_00000003"]
     with pytest.raises(FileNotFoundError):
         pick_last_n(str(tmp_path / "empty"), 2)
+
+
+def test_out_tag_collision_rejected(tmp_path):
+    """--out-tag must not name a source checkpoint: averaging rmtree's the
+    target, so 'last'/'best'/'step_*' would destroy a real checkpoint
+    (ADVICE.md r2)."""
+    for step in (1, 2):
+        _save(tmp_path, step, float(step))
+    tags = pick_last_n(str(tmp_path), 2)
+    for bad in ("last", "best", "step_00000001"):
+        with pytest.raises(ValueError, match="collides"):
+            average_checkpoints(str(tmp_path), tags, bad)
+
+
+def test_pick_last_n_warns_when_fewer(tmp_path, capsys):
+    _save(tmp_path, 1, 1.0)
+    assert pick_last_n(str(tmp_path), 3) == ["step_00000001"]
+    assert "WARNING" in capsys.readouterr().err

@@ -197,3 +197,37 @@ def test_tokenizer_load_for_config_fallbacks(tmp_path, digits_corpus):
     cfg.data.train_manifest = str(tmp_path / "missing.jsonl")
     with pytest.raises(FileNotFoundError):
         load_for_config(cfg)
+
+
+def test_vocab_hash_guards_checkpoint_mismatch(tmp_path, digits_corpus):
+    """Checkpoint meta carries a crc32 of the tokenizer vocab; restoring with
+    a *different* same-sized vocab (e.g. rebuilt from a changed manifest)
+    raises instead of silently producing garbage transcripts (ADVICE.md r2)."""
+    import pytest
+
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+
+    cfg = AsrConfig()
+    cfg.model.encoder = "blstm"
+    cfg.model.encoder_layers = 1
+    cfg.model.encoder_dim = 32
+    cfg.model.ctc_weight = 1.0
+    cfg.model.dtype = "float32"
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.metrics_path = str(tmp_path / "m.jsonl")
+
+    tok_a = CharTokenizer(charset="ABC")
+    tok_b = CharTokenizer(charset="ABD")  # same vocab_size, different vocab
+    assert tok_a.vocab_size == tok_b.vocab_size
+    assert tok_a.vocab_hash() != tok_b.vocab_hash()
+
+    s = Solver(cfg, tok_a)
+    s.save_checkpoint("last")
+    ok = Solver(cfg, tok_a)
+    ok.load_checkpoint("last")  # same vocab: fine
+    bad = Solver(cfg, tok_b)
+    with pytest.raises(ValueError, match="tokenizer/checkpoint mismatch"):
+        bad.load_checkpoint("last")

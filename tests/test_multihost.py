@@ -144,7 +144,7 @@ FIT_WORKER = textwrap.dedent(
     assert np.all(wers == wers[0]), wers
     if i == 0:
         import jax.tree_util as jtu
-        leaves = [np.asarray(v.value if hasattr(v, "value") else v)
+        leaves = [np.asarray(v[...])
                   for v in jtu.tree_leaves(solver.params)]
         np.savez(out_path + ".npz", *leaves)
         json.dump({"losses": hist["loss"], "wer": float(wer)},
@@ -155,6 +155,7 @@ FIT_WORKER = textwrap.dedent(
 
 
 @pytest.mark.timeout(300)
+@pytest.mark.slow
 def test_two_process_solver_fit_matches_single(tmp_path, digits_corpus):
     import jax
     import jax.numpy as jnp
@@ -216,7 +217,7 @@ def test_two_process_solver_fit_matches_single(tmp_path, digits_corpus):
         ep += 1
 
     np.testing.assert_allclose(got["losses"], ref_losses, rtol=2e-4)
-    ref_leaves = [np.asarray(v.value if hasattr(v, "value") else v)
+    ref_leaves = [np.asarray(v[...])
                   for v in jax.tree_util.tree_leaves(solver.params)]
     dist = np.load(str(out) + ".npz")
     assert len(dist.files) == len(ref_leaves)

@@ -68,7 +68,8 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("dp,tp,decoder", [
-    (8, 1, "lstm"), (4, 2, "lstm"), (2, 4, "lstm"), (4, 2, "transformer")])
+    pytest.param(8, 1, "lstm", marks=pytest.mark.slow),  # widest mesh: ~30s
+    (4, 2, "lstm"), (2, 4, "lstm"), (4, 2, "transformer")])
 def test_sharded_loss_and_grads_match_single_device(dp, tp, decoder, rng):
     cfg = _tiny_cfg()
     cfg.model.decoder = decoder
@@ -175,8 +176,8 @@ def test_checkpoint_restore_across_mesh_shapes(rng, tmp_path):
     ref = jax.tree_util.tree_leaves(params_a)
     got = jax.tree_util.tree_leaves(out["params"])
     for a, b in zip(ref, got):
-        va = a.value if hasattr(a, "value") else a
-        vb = b.value if hasattr(b, "value") else b
+        va = a[...]
+        vb = b[...]
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
@@ -231,6 +232,7 @@ def test_sharded_fused_attention_matches_global(dp, tp, with_bias, rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_bench_scaling_harness_runs(capsys):
     """The dp-scaling harness (bench_scaling.py) runs the production
     mesh/shard_batch path on the virtual-device mesh and emits the

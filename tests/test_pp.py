@@ -77,6 +77,7 @@ def test_pipeline_blocks_matches_sequential(layers, stages, relative, rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_encoder_pp_from_config_matches_plain(rng):
     """VERDICT r1 item 8: PP reachable from config alone — a conformer
     encoder with cfg.pp_stages=4 over the (data=2, model=4) mesh must equal

@@ -77,6 +77,7 @@ def test_stream_error_shrinks_with_overlap(rng):
     assert e_big < 0.5, e_big
 
 
+@pytest.mark.slow
 def test_streaming_transcriber_learns_stream(digits_corpus, tmp_path):
     """Train a small CTC model, then transcribe a dev utterance fed in
     0.5 s chunks; streamed text must match the full-pass greedy decode."""

@@ -17,11 +17,17 @@ from pytorch_end2end_speech_recognition_tpu.cli.supervise import (
 # Child behavior, selected by how many times it has already run (a counter
 # file the child increments). Args: counter_file metrics_file mode
 CHILD = textwrap.dedent("""
-    import sys, time, pathlib
+    # increment the run counter as the VERY first statement (before any
+    # non-essential import): on a loaded CI box the watchdog's hang_timeout
+    # races interpreter cold-start, and a SIGKILL before the increment would
+    # break the runs == N assertions (ADVICE.md r2, test_supervise race)
+    import sys
+    with open(sys.argv[1], "a+") as f:
+        f.seek(0)
+        n = int(f.read() or 0)
+        f.seek(0); f.truncate(); f.write(str(n + 1))
+    import time, pathlib
     counter, metrics, mode = sys.argv[1], sys.argv[2], sys.argv[3]
-    c = pathlib.Path(counter)
-    n = int(c.read_text()) if c.exists() else 0
-    c.write_text(str(n + 1))
     resumed = "--resume" in sys.argv
     if mode == "hang_then_ok":
         if n == 0:
@@ -53,9 +59,10 @@ def test_hang_is_killed_and_restarted_with_resume(tmp_path):
     # run 1 hangs (no metrics progress) -> killpg after hang_timeout;
     # run 2 gets --resume, writes metrics, exits 0.
     # hang_timeout must cover interpreter cold-start on a loaded CI box,
-    # or run 1 is killed before it ever increments the counter
+    # or run 1 is killed before it ever increments the counter (the child
+    # also increments before importing anything else, see CHILD)
     rc, runs, metrics = _launch(tmp_path, "hang_then_ok",
-                                hang_timeout=4.0, max_restarts=2)
+                                hang_timeout=6.0, max_restarts=2)
     assert rc == 0
     assert runs == 2
     assert metrics.read_text() == "step 1\n"

@@ -1,11 +1,15 @@
 """TPU experiments: validate toeplitz_dense on hardware + time train step.
 
-Usage: python exp_opt_tmp.py <mode>
+Usage: python tools/exp_opt.py <mode>
   modes: toep   - validate + microbench toeplitz kernels
          step   - time flagship train step (current code)
          step64 - same at B=64
          stepbf - same with bf16 residual stream
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
 import sys
 import time
 

@@ -1,4 +1,8 @@
-"""Measure full train step under candidate optimizations (temporary)."""
+"""Measure full train step under candidate optimizations."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
 import time, sys
 import jax, jax.numpy as jnp, numpy as np
 from flax import nnx

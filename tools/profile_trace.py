@@ -1,4 +1,8 @@
 """Capture an XProf trace of the flagship train step and dump HLO op stats."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
 import glob
 import json
 import sys

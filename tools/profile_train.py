@@ -1,4 +1,8 @@
 """Segment-level timing of the flagship train step on the real TPU."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
 import time, sys
 from functools import partial
 

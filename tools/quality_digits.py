@@ -5,8 +5,12 @@ utts), trains a rung-4-style conformer stack via the train CLI, then
 beam-decodes dev and test via the decode CLI. Target: dev beam WER < 0.05
 (r1 snapshot: 0.185 with train WER 0.00 — pure memorization).
 
-Usage: python quality_digits_tmp.py [workdir] [steps]
+Usage: python tools/quality_digits.py [workdir] [steps]
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo root
 import json
 import sys
 import time
