@@ -78,7 +78,23 @@ def main(argv=None):
             )
 
             lm = load_lm(args.lm_checkpoint, cfg, tok)
-        beam = BeamSearchDecoder(solver.merged_model(), cfg.decode, lm=lm)
+        # multi-device eval: DP/TP-shard decode over the training mesh so a
+        # pod's chips don't idle during eval (single-process only; multi-host
+        # decode already data-parallelizes via per-host loader shards)
+        mesh = None
+        import jax
+
+        if (cfg.train.dp * cfg.train.tp > 1 and jax.process_count() == 1
+                and len(jax.devices()) == cfg.train.dp * cfg.train.tp):
+            from pytorch_end2end_speech_recognition_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
+            print(f"[decode] mesh dp={cfg.train.dp} tp={cfg.train.tp}",
+                  file=sys.stderr)
+        beam = BeamSearchDecoder(solver.merged_model(), cfg.decode, lm=lm,
+                                 mesh=mesh)
 
     wer_stats, cer_stats = ErrorStats(), ErrorStats()
     nbest_f = open(args.nbest_out, "w") if args.nbest_out else None

@@ -192,3 +192,43 @@ def test_beam_nbest_sorted_and_finished(rng):
     # finished hyps (if any) keep frozen finite scores
     fin = np.asarray(out["finished"])
     assert np.isfinite(scores[fin]).all() if fin.any() else True
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_mesh_decode_matches_single_device(dp, tp, rng):
+    """Mesh-aware decode (r2 VERDICT missing item 4): BeamSearchDecoder
+    over a ('data','model') mesh — batch DP-sharded, encoder TP-sharded —
+    must reproduce the single-device N-best. dp=8/tp=1 is token-exact
+    (rows never cross devices); dp=4/tp=2 allows reduction-order noise in
+    scores but the same transcripts."""
+    from pytorch_end2end_speech_recognition_tpu.data.dataset import Batch
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.parallel.mesh import make_mesh
+
+    model, cfg = _tiny_model()
+    tok = CharTokenizer(charset="ABCDEF")
+    assert tok.vocab_size == cfg.model.vocab_size
+    B, Ts = 8, 4800
+    audio = (rng.standard_normal((B, Ts)) * 0.1).astype(np.float32)
+    audio_lens = np.asarray(
+        [Ts, Ts // 2, Ts, Ts // 4, Ts, Ts // 2, Ts, Ts], np.int32)
+    batch = Batch(audio=audio, audio_lens=audio_lens,
+                  tokens=np.zeros((B, 4), np.int32),
+                  token_lens=np.zeros((B,), np.int32),
+                  ids=[f"u{i}" for i in range(B)],
+                  texts=[""] * B)
+    dcfg = DecodeConfig(beam_size=4, pre_beam_k=6, ctc_weight=0.3, nbest=2)
+
+    ref = BeamSearchDecoder(model, dcfg).decode_batch(batch, tok)
+    got = BeamSearchDecoder(model, dcfg,
+                            mesh=make_mesh(dp=dp, tp=tp)).decode_batch(
+                                batch, tok)
+    for r, g in zip(ref, got):
+        assert [h["text"] for h in r] == [h["text"] for h in g]
+        if tp == 1:
+            assert [h["tokens"] for h in r] == [h["tokens"] for h in g]
+        for hr, hg in zip(r, g):
+            np.testing.assert_allclose(hr["score"], hg["score"],
+                                       rtol=0, atol=2e-3)

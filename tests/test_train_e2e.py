@@ -39,7 +39,7 @@ def trained(tmp_path_factory, digits_corpus):
     tok = CharTokenizer([u.text for u in utts])
     loader = BucketedLoader(utts, tok, cfg.data)
     solver = Solver(cfg, tok)
-    solver.fit(loader, steps=300)  # enough to overfit digits on CPU
+    solver.fit(loader, steps=400)  # enough to overfit digits on CPU
     return cfg, tok, loader, solver
 
 
@@ -201,5 +201,5 @@ def test_grad_accumulation(digits_corpus, tmp_path):
         np.asarray(v[...]).ravel()[:4]
         for v in jax.tree_util.tree_leaves(solver.params)])
     assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd micro-step
-    hist = solver.fit(loader, steps=60)
+    hist = solver.fit(loader, steps=120)
     assert hist["loss"][-1] < hist["loss"][0]
