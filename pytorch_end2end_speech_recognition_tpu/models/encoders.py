@@ -378,7 +378,15 @@ def _rel_bias_repr(rel, cfg, T: int):
     (T, T) in HBM). Returns (biases, diags), one of them None."""
     if rel is None:
         return None, None
-    if cfg.cp_mode or T > FLASH_T:
+    # the whole-row kernel keeps the full (H, Tp, Tp) bias + one (Tp, Tp)
+    # f32 score block + q/k/v/out rows resident; beyond ~15MB of the 16MB
+    # VMEM it cannot compile (rung-5 H=16/d=1024 at T=768 needs 18.9MB for
+    # the bias alone), so wide models take the diagonal/flash path early
+    Tp = -(-T // 128) * 128
+    H, D = cfg.encoder_heads, cfg.encoder_dim
+    itemsize = 2 if cfg.dtype == "bfloat16" else 4
+    dense_vmem = (H * Tp * Tp + 4 * Tp * D) * itemsize + Tp * Tp * 4
+    if cfg.cp_mode or T > FLASH_T or dense_vmem > 15 * 1024 * 1024:
         return None, rel.diags(T, dtype=jnp.float32)
     if cfg.attn_impl == "pallas" and jax.default_backend() not in ("cpu",):
         # Pallas attention pads to the lane-aligned Tp anyway: emit the
