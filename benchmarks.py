@@ -40,10 +40,14 @@ def emit(name, value, unit, **extra):
 
 def main():
     from pytorch_end2end_speech_recognition_tpu.utils.platform import (
+        configure_prng,
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
+    # match the production Solver (train.prng_impl='rbg'): threefry counters
+    # fuse into every dropout-adjacent op and cost ~17% of the train step
+    configure_prng("rbg")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -93,8 +97,23 @@ def main():
         logits = m.ctc_logits(enc)
         return ctc_greedy_decode(logits, enc_lens)
 
+    from pytorch_end2end_speech_recognition_tpu.utils.profiling import (
+        device_peaks,
+    )
+
+    peak_tflops, _ = device_peaks()
+
+    def mfu_of(jitted, dt, *args):
+        try:
+            fl = float(jitted.lower(*args).compile().cost_analysis()
+                       .get("flops", 0))
+            return round(fl / dt / (peak_tflops * 1e12), 4)
+        except Exception:
+            return 0.0
+
     dt = timeit(fwd, params, audio, audio_lens)
-    emit("encode_ctc_greedy_audio_s_per_s", B * sec / dt, "audio-s/s/chip")
+    emit("encode_ctc_greedy_audio_s_per_s", B * sec / dt, "audio-s/s/chip",
+         mfu=mfu_of(fwd, dt, params, audio, audio_lens))
 
     # ---- full train step
     tx = make_optimizer(cfg.train)
@@ -121,7 +140,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     dt = timeit(lambda: train_step(params, opt_state, key), n=10)
-    emit("train_step_audio_s_per_s", B * sec / dt, "audio-s/s/chip")
+    emit("train_step_audio_s_per_s", B * sec / dt, "audio-s/s/chip",
+         mfu=mfu_of(train_step, dt, params, opt_state, key))
 
     # ---- beam decode RTF
     dcfg = DecodeConfig(beam_size=10, ctc_weight=0.3, pre_beam_k=30, nbest=1)
@@ -174,12 +194,6 @@ def main():
 
     # ---- ladder-rung shapes (the "real flagship" benches): rung-4 and
     # rung-5 conformers, single chip, encode + train step with achieved MFU
-    from pytorch_end2end_speech_recognition_tpu.utils.profiling import (
-        device_peaks,
-    )
-
-    peak_tflops, _ = device_peaks()
-
     def bench_rung(tag, layers, d, ffn, heads, Br, remat):
         c = _flagship_cfg(small=not on_tpu)
         c.model.encoder_layers = layers
@@ -209,7 +223,9 @@ def main():
         txr = make_optimizer(c.train)
         os_r = txr.init(p)
 
-        @jax.jit
+        # donate like the production Solver: without it, params + adam state
+        # are held twice and the rung-5 (24L/d1024) step OOMs 16 GB HBM
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step_r(p, o, k):
             def loss(p):
                 mm = nnx.merge(gd, p, r)
@@ -224,9 +240,17 @@ def main():
             up, o2 = txr.update(g, o, p)
             return jax.tree_util.tree_map(lambda x, u: x + u, p, up), o2
 
-        dt = timeit(lambda: step_r(p, os_r, key), n=5)
         fl = float(step_r.lower(p, os_r, key).compile()
                    .cost_analysis().get("flops", 0))
+        p, os_r = step_r(p, os_r, key)          # warmup (donates originals)
+        p, os_r = step_r(p, os_r, key)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        n_it = 5
+        for _ in range(n_it):
+            p, os_r = step_r(p, os_r, key)
+        jax.block_until_ready(p)
+        dt = (time.perf_counter() - t0) / n_it
         emit(f"{tag}_train_step_audio_s_per_s", Br * sec / dt,
              "audio-s/s/chip",
              mfu=round(fl / dt / (peak_tflops * 1e12), 4))

@@ -11,6 +11,8 @@ from pytorch_end2end_speech_recognition_tpu.utils.platform import (
     enable_compilation_cache,
 )
 enable_compilation_cache()
+from pytorch_end2end_speech_recognition_tpu.utils.platform import configure_prng
+configure_prng("rbg")  # match Solver default (train.prng_impl)
 from __graft_entry__ import _flagship_cfg
 from pytorch_end2end_speech_recognition_tpu.models.asr import AsrModel
 from pytorch_end2end_speech_recognition_tpu.training.losses import hybrid_loss

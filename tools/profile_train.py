@@ -10,6 +10,8 @@ from pytorch_end2end_speech_recognition_tpu.utils.platform import (
     enable_compilation_cache,
 )
 enable_compilation_cache()
+from pytorch_end2end_speech_recognition_tpu.utils.platform import configure_prng
+configure_prng("rbg")  # match Solver default (train.prng_impl)
 import jax, jax.numpy as jnp, numpy as np
 from flax import nnx
 from __graft_entry__ import _flagship_cfg
