@@ -1,0 +1,181 @@
+"""Ahead-of-time model export for production serving.
+
+The reference genre ships a Python checkpoint and re-instantiates the whole
+training framework at inference time; the TPU-native serving story is an
+AOT-compiled artifact: `jax.export` serializes the jitted transcription
+function (frontend + encoder + CTC head + greedy collapse, or the full
+joint CTC/attention beam) as versioned StableHLO that a serving binary can
+load WITHOUT the model code — weights are baked in as constants, shapes are
+fixed per bucket, and the artifact round-trips across JAX versions per
+StableHLO's compatibility guarantees.
+
+Bundle layout (one directory):
+    meta.json                      sample rate, buckets, mode, vocab hash
+    tokenizer.json                 vocab for host-side detokenization
+    greedy_b{B}_s{S}.stablehlo     one artifact per (batch, seconds) bucket
+    beam_b{B}_s{S}.stablehlo       (mode='beam')
+
+Usage:
+    python -m pytorch_end2end_speech_recognition_tpu.cli.export \\
+        --config cfg.json --checkpoint-tag best --out-dir bundle/ \\
+        [--mode beam --batch-sizes 1,8 --seconds 10,30]
+
+Serving host: `load_bundle(dir).transcribe(list_of_float_arrays)` pads to
+the smallest covering bucket and detokenizes; see ServingBundle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+
+def _build_greedy_fn(model):
+    import jax
+
+    from pytorch_end2end_speech_recognition_tpu.ops.ctc import (
+        ctc_greedy_decode,
+    )
+    from flax import nnx
+
+    graphdef, state = nnx.split(model)
+
+    def fn(audio, audio_lens):
+        m = nnx.merge(graphdef, state)
+        enc, enc_lens = m.encode(audio, audio_lens, train=False)
+        logits = m.ctc_logits(enc)
+        toks, lens = ctc_greedy_decode(logits, enc_lens)
+        return toks, lens
+
+    return jax.jit(fn)
+
+
+def _build_beam_fn(model, decode_cfg, max_len_ratio=0.2):
+    """Full joint CTC/attention beam as one exportable function."""
+    import jax
+
+    from pytorch_end2end_speech_recognition_tpu.decode.beam import (
+        BeamSearchDecoder,
+    )
+
+    bsd = BeamSearchDecoder(model, decode_cfg)
+
+    def fn(audio, audio_lens):
+        enc, enc_lens, ctc_logp = bsd._encode(
+            bsd.model_split[1], audio, audio_lens)
+        T = enc.shape[1]
+        max_len = max(4, int(max_len_ratio * T))
+        out = bsd._build(enc.shape[0], T, max_len)(
+            enc, enc_lens, ctc_logp,
+            (enc_lens * decode_cfg.min_decode_ratio).astype("int32"))
+        return out["tokens"], out["lengths"], out["scores"]
+
+    return jax.jit(fn)
+
+
+def export_bundle(cfg, tokenizer, out_dir, checkpoint_tag="best",
+                  mode="greedy", batch_sizes=(1, 8), seconds=(10, 30),
+                  platforms=None) -> Path:
+    """AOT-export the trained model into a serving bundle directory."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    solver = Solver(cfg, tokenizer)
+    solver.load_checkpoint(checkpoint_tag)
+    model = solver.merged_model()
+
+    if mode == "beam":
+        fn = _build_beam_fn(model, cfg.decode)
+    else:
+        fn = _build_greedy_fn(model)
+
+    sr = cfg.frontend.sample_rate
+    arts = []
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    for B in batch_sizes:
+        for S in seconds:
+            Ts = int(S * sr)
+            audio = jnp.zeros((B, Ts), jnp.float32)
+            lens = jnp.zeros((B,), jnp.int32)
+            exp = jexport.export(fn, **kwargs)(audio, lens)
+            name = f"{mode}_b{B}_s{S}.stablehlo"
+            (out / name).write_bytes(exp.serialize())
+            arts.append({"file": name, "batch": B, "seconds": S})
+    tokenizer.save(out / "tokenizer.json")
+    (out / "meta.json").write_text(json.dumps({
+        "mode": mode,
+        "sample_rate": sr,
+        "artifacts": arts,
+        "vocab_hash": tokenizer.vocab_hash(),
+        "platforms": list(platforms) if platforms else None,
+        "config_name": cfg.name,
+    }, indent=2))
+    return out
+
+
+class ServingBundle:
+    """Host-side loader: pads requests into the smallest covering bucket
+    artifact and detokenizes results. No model code needed — only the
+    bundle directory."""
+
+    def __init__(self, bundle_dir):
+        from jax import export as jexport
+
+        from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+            Tokenizer,
+        )
+
+        self.dir = Path(bundle_dir)
+        self.meta = json.loads((self.dir / "meta.json").read_text())
+        self.tokenizer = Tokenizer.load(self.dir / "tokenizer.json")
+        if self.tokenizer.vocab_hash() != self.meta["vocab_hash"]:
+            raise ValueError("bundle tokenizer.json does not match meta "
+                             "vocab_hash — corrupted bundle")
+        self._fns = {}
+        for art in self.meta["artifacts"]:
+            blob = (self.dir / art["file"]).read_bytes()
+            self._fns[(art["batch"], art["seconds"])] = (
+                jexport.deserialize(blob))
+
+    def _pick_bucket(self, n_utts: int, max_samples: int):
+        sr = self.meta["sample_rate"]
+        fits = [(b, s) for (b, s) in self._fns
+                if b >= n_utts and s * sr >= max_samples]
+        if not fits:
+            raise ValueError(
+                f"no exported bucket covers batch={n_utts}, "
+                f"samples={max_samples}; exported: {sorted(self._fns)}")
+        return min(fits, key=lambda bs: (bs[0], bs[1]))
+
+    def transcribe(self, audios) -> list[str]:
+        """audios: list of 1-D float arrays (sample_rate mono)."""
+        import numpy as np
+
+        n = len(audios)
+        max_samples = max(len(a) for a in audios)
+        B, S = self._pick_bucket(n, max_samples)
+        Ts = int(S * self.meta["sample_rate"])
+        batch = np.zeros((B, Ts), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, a in enumerate(audios):
+            batch[i, : len(a)] = np.asarray(a, np.float32)
+            lens[i] = len(a)
+        out = self._fns[(B, S)].call(batch, lens)
+        if self.meta["mode"] == "beam":
+            tokens, lengths, _scores = out
+            tokens, lengths = tokens[:, 0], lengths[:, 0]  # best hyp
+        else:
+            tokens, lengths = out
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        return [self.tokenizer.decode(tokens[i, : lengths[i]])
+                for i in range(n)]
+
+
+def load_bundle(bundle_dir) -> ServingBundle:
+    return ServingBundle(bundle_dir)
