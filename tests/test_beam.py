@@ -194,7 +194,8 @@ def test_beam_nbest_sorted_and_finished(rng):
     assert np.isfinite(scores[fin]).all() if fin.any() else True
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("dp,tp", [
+    (8, 1), pytest.param(4, 2, marks=pytest.mark.slow)])  # TP variant ~18s
 def test_mesh_decode_matches_single_device(dp, tp, rng):
     """Mesh-aware decode (r2 VERDICT missing item 4): BeamSearchDecoder
     over a ('data','model') mesh — batch DP-sharded, encoder TP-sharded —
