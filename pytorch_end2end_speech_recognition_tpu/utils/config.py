@@ -183,7 +183,12 @@ class DecodeConfig:
     length_penalty: float = 0.0
     coverage_penalty: float = 0.0    # eta * sum(min(cum_attn, tau))
     coverage_tau: float = 0.5
-    max_decode_ratio: float = 0.5    # max output len = ratio * encoder frames
+    # Max output len = ratio * encoder frames. Char-level output runs at
+    # ~12-15 chars/s vs ~25 encoder frames/s (x4 subsample of 100 fps), so
+    # 0.5 truncates fast speech mid-word (r3 digits quality run: every fast
+    # utterance's last word was cut). 1.0 is the safe genre default
+    # (ESPnet maxlenratio<=1); the while_loop still exits early on EOS.
+    max_decode_ratio: float = 1.0
     min_decode_ratio: float = 0.0
     nbest: int = 1
     pre_beam_k: int = 40             # candidates scored by CTC prefix scorer

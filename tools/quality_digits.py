@@ -61,6 +61,11 @@ def build_cfg(workdir: Path, corpus_dir: Path, steps: int) -> AsrConfig:
     cfg.data.dev_manifest = str(corpus_dir / "dev.jsonl")
     cfg.data.test_manifest = str(corpus_dir / "test.jsonl")
     cfg.data.batch_size = 32
+    # DataConfig's default batch_frames (160k samples = 10 s of audio) is a
+    # CPU-test budget: it capped this recipe's effective batch at 2-11 utts,
+    # which both destabilized training (tiny noisy grads at peak LR) and
+    # left the TPU idle. 4M samples lets batch_size=32 bind in every bucket.
+    cfg.data.batch_frames = 4_000_000
     cfg.train.steps = steps
     cfg.train.eval_every = max(500, steps // 6)
     cfg.train.lr = 1.5e-3
