@@ -6,18 +6,23 @@ Replaces torchaudio's C++ fbank kernels with a single on-chip kernel
     framing -> windowed real DFT -> power -> mel projection -> log
 
 TPU mapping:
-- Overlapping frames never materialize. A frame of `win` samples starting
-  every `hop` samples is decomposed into `n_sub = ceil(win/hop)` consecutive
-  hop-wide sub-blocks of the audio row viewed as (n_rows, hop). The windowed
-  DFT then becomes n_sub shifted matmuls against hop-row slices of the
-  (padded) DFT basis — pure MXU work, no gathers.
-- The DFT bases are zero-padded on both axes: rows win -> n_sub*hop (extra
-  taps multiply zero weight) and bins 257 -> 384 (lane-aligned; the extra
-  bins carry zero mel weight), so results are bit-identical to the unpadded
-  math while every matmul is (x, hop) @ (hop, 384) aligned.
+- Overlapping frames never materialize in HBM. A frame of `win` samples
+  starting every `hop` samples is decomposed into `n_sub = ceil(win/hop)`
+  consecutive hop-wide sub-blocks of the audio row viewed as (n_rows, hop);
+  the kernel re-assembles each tile's (t_tile, n_sub*hop) frame matrix with
+  a cheap VMEM lane-concat, so HBM streams ~n_sub x audio, not win/hop x.
+- The windowed DFT is ONE matmul per tile: (t_tile, win_pad) @
+  (win_pad, 2*f_pad) against the lane-concatenated [cos | sin] basis.
+  A single K=win_pad, N=2*f_pad MXU op replaces the previous
+  2*n_sub small (t_tile, hop) @ (hop, f_pad) sub-block matmuls, whose
+  K=hop=160 contraction left most MXU rows idle (the kernel measured
+  ~9% MFU standalone, ~26% of the whole encode bench step).
+- Bases are zero-padded: rows win -> n_sub*hop (extra taps multiply zero
+  weight) and bins 257 -> 384 (lane-aligned; extra bins carry zero mel
+  weight), so results are bit-identical to the unpadded math.
 - Grid: (B, frame tiles). Each program computes T_TILE frames:
-  3 matmul groups + square-add + (T_TILE, 384) @ (384, n_mels) mel matmul
-  + log, all in VMEM.
+  concat + DFT matmul + square-add + (T_TILE, 384) @ (384, n_mels) mel
+  matmul + log, all in VMEM.
 """
 
 from __future__ import annotations
@@ -39,17 +44,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_ref, cosp_ref, sinp_ref, mel_ref, out_ref, *, hop, n_sub, t_tile):
+def _kernel(x_ref, basis_ref, mel_ref, out_ref, *, hop, n_sub, t_tile):
     """One (batch row, frame tile) program. x_ref holds the n_sub shifted
     hop-block views (n_sub, 1, t_tile, hop) for this tile — pre-shifted in
-    XLA so every VMEM load is sublane-aligned."""
-    f_pad = cosp_ref.shape[2]
-    re = jnp.zeros((t_tile, f_pad), jnp.float32)
-    im = jnp.zeros((t_tile, f_pad), jnp.float32)
-    for j in range(n_sub):
-        a_j = x_ref[j, 0]                                # (t_tile, hop)
-        re += jnp.dot(a_j, cosp_ref[j], preferred_element_type=jnp.float32)
-        im += jnp.dot(a_j, sinp_ref[j], preferred_element_type=jnp.float32)
+    XLA so every VMEM load is sublane-aligned. basis_ref is the
+    lane-concatenated [cos | sin] windowed-DFT basis (win_pad, 2*f_pad)."""
+    f_pad = basis_ref.shape[1] // 2
+    # (t_tile, win_pad) frame matrix: window offsets [j*hop, (j+1)*hop) of
+    # frame t live in x_ref[j, 0][t], so a lane-concat re-assembles frames.
+    frames = jnp.concatenate([x_ref[j, 0] for j in range(n_sub)], axis=1)
+    reim = jnp.dot(frames, basis_ref[...], preferred_element_type=jnp.float32)
+    re = reim[:, :f_pad]
+    im = reim[:, f_pad:]
     power = re * re + im * im
     mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(mel + LOG_EPS)
@@ -85,13 +91,11 @@ def logmel_pallas(
     xs = jnp.stack([xr[:, j : j + t_total] for j in range(n_sub)], axis=0)
 
     # pad bases: rows win -> win_pad (zeros), bins F -> f_pad (zeros);
-    # reshape to per-sub-block slices (n_sub, hop, f_pad)
+    # lane-concat cos|sin into one (win_pad, 2*f_pad) matmul operand
     def prep(b):
-        b = jnp.pad(b, ((0, win_pad - win), (0, f_pad - F)))
-        return b.reshape(n_sub, hop, f_pad)
+        return jnp.pad(b, ((0, win_pad - win), (0, f_pad - F)))
 
-    cosp = prep(cos_b)
-    sinp = prep(sin_b)
+    basis = jnp.concatenate([prep(cos_b), prep(sin_b)], axis=1)
     melp = jnp.pad(mel_b, ((0, f_pad - F), (0, 0)))
 
     out = pl.pallas_call(
@@ -100,7 +104,6 @@ def logmel_pallas(
         in_specs=[
             pl.BlockSpec((n_sub, 1, t_tile, hop), lambda b, t: (0, b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -112,5 +115,5 @@ def logmel_pallas(
             bytes_accessed=B * need * 4 + B * t_total * M * 4,
             transcendentals=B * t_total * M,
         ),
-    )(xs, cosp, sinp, melp)
+    )(xs, basis, melp)
     return out[:, :n_frames]
