@@ -34,6 +34,11 @@ class CtcHead(nnx.Module):
 
 class AsrModel(nnx.Module):
     def __init__(self, cfg: AsrConfig, rngs: nnx.Rngs, mesh=None):
+        from pytorch_end2end_speech_recognition_tpu.utils.config import (
+            resolve_platform,
+        )
+
+        resolve_platform(cfg)  # 'auto' impl/dtype fields -> this backend
         self.cfg = cfg
         self.frontend = Frontend(cfg.frontend)
         self.encoder = build_encoder(cfg.frontend.n_mels, cfg.model, rngs,

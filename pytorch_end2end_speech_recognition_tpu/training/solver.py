@@ -51,6 +51,11 @@ class Solver:
         model: AsrModel | None = None,
         mesh=None,
     ):
+        from pytorch_end2end_speech_recognition_tpu.utils.config import (
+            resolve_platform,
+        )
+
+        resolve_platform(cfg)  # 'auto' impl/dtype fields -> this backend
         self.cfg = cfg
         self.tokenizer = tokenizer
         cfg.model.vocab_size = tokenizer.vocab_size

@@ -32,14 +32,8 @@ def _cfg(tmp_path):
 
 
 @pytest.fixture(scope="module")
-def trained(tmp_path_factory, digits_corpus):
-    tmp = tmp_path_factory.mktemp("train")
-    cfg = _cfg(tmp)
-    utts = read_manifest(digits_corpus["train"])
-    tok = CharTokenizer([u.text for u in utts])
-    loader = BucketedLoader(utts, tok, cfg.data)
-    solver = Solver(cfg, tok)
-    solver.fit(loader, steps=400)  # enough to overfit digits on CPU
+def trained(trained_blstm):
+    cfg, tok, utts, loader, solver = trained_blstm  # session-scoped (conftest)
     return cfg, tok, loader, solver
 
 
@@ -111,6 +105,8 @@ def test_resume_continues_exactly(digits_corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
 
 
+@pytest.mark.slow  # ~42s, compile-dominated; the hybrid lstm-decoder path
+# stays default-covered by tests/test_beam.py's oracle-equivalence models
 def test_hybrid_attention_training_steps(digits_corpus, tmp_path):
     """Hybrid CTC+attention train step runs and improves loss."""
     cfg = _cfg(tmp_path)
@@ -201,5 +197,5 @@ def test_grad_accumulation(digits_corpus, tmp_path):
         np.asarray(v[...]).ravel()[:4]
         for v in jax.tree_util.tree_leaves(solver.params)])
     assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd micro-step
-    hist = solver.fit(loader, steps=120)
-    assert hist["loss"][-1] < hist["loss"][0]
+    hist = solver.fit(loader, steps=40)  # CTC falls fast from init; 40 is
+    assert hist["loss"][-1] < hist["loss"][0]  # plenty (was 120: ~15s CPU)

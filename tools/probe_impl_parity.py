@@ -7,13 +7,10 @@ training batch, in loss value AND gradients.
 
 Usage: python tools/probe_impl_parity.py [corpus_dir] [dtype]
 """
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
