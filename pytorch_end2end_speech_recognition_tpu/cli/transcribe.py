@@ -28,7 +28,8 @@ def main(argv=None):
     ap.add_argument("--lm-weight", type=float, default=None)
     ap.add_argument("--lm-checkpoint", default=None)
     ap.add_argument("--streaming", action="store_true",
-                    help="chunked streaming encode (greedy only)")
+                    help="chunked streaming encode; with --mode beam, "
+                         "greedy partials + chunk-final joint beam")
     ap.add_argument("--chunk-s", type=float, default=8.0)
     ap.add_argument("--overlap-s", type=float, default=2.0)
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
@@ -77,11 +78,24 @@ def main(argv=None):
 
     if args.streaming:
         from pytorch_end2end_speech_recognition_tpu.models.streaming import (
+            StreamingBeamTranscriber,
             StreamingTranscriber,
         )
 
-        st = StreamingTranscriber(model, tok, chunk_s=args.chunk_s,
-                                  overlap_s=args.overlap_s)
+        if args.mode == "beam":
+            lm = None
+            if args.lm_checkpoint and cfg.decode.lm_weight > 0:
+                from pytorch_end2end_speech_recognition_tpu.cli.train_lm import (
+                    load_lm,
+                )
+
+                lm = load_lm(args.lm_checkpoint, cfg, tok)
+            st = StreamingBeamTranscriber(model, tok, cfg.decode, lm=lm,
+                                          chunk_s=args.chunk_s,
+                                          overlap_s=args.overlap_s)
+        else:
+            st = StreamingTranscriber(model, tok, chunk_s=args.chunk_s,
+                                      overlap_s=args.overlap_s)
         for path in args.wavs:
             audio = load_audio(path)
             step = int(args.chunk_s * sr)

@@ -25,6 +25,9 @@ DIGITS = [
     "ZERO", "ONE", "TWO", "THREE", "FOUR",
     "FIVE", "SIX", "SEVEN", "EIGHT", "NINE",
 ]
+# Connective words for the grammar corpus (see make_phrases_corpus); word
+# id 10 = DASH.
+WORDS = DIGITS + ["DASH"]
 
 # Each digit -> sequence of 3 tone frequencies (Hz). Distinct patterns.
 _BASE = 300.0
@@ -34,6 +37,12 @@ def _digit_freqs(d: int) -> list[float]:
     return [
         _BASE * (1.3 ** ((d * 3 + k) % 10)) + 37.0 * ((d + k) % 4) for k in range(3)
     ]
+
+
+def _word_freqs(w: int) -> list[float]:
+    if w < 10:
+        return _digit_freqs(w)
+    return [265.0, 205.0, 265.0]  # DASH: a distinct low dip melody
 
 
 def synth_digit_audio(
@@ -58,7 +67,7 @@ def synth_digit_audio(
     noise = noise * (1.0 + j * (rng.random() - 0.5) * 2)
     pieces = [np.zeros(int(sr * gap_s), np.float32)]
     for d in digits:
-        for f in _digit_freqs(d):
+        for f in _word_freqs(d):
             # jitter duration/freq slightly so the model must generalize
             dur = tone_s * rate * (1.0 + 0.15 * (rng.random() - 0.5))
             fj = f * pitch * (1.0 + 0.02 * (rng.random() - 0.5))
@@ -107,6 +116,73 @@ def make_digits_corpus(
                     text=" ".join(DIGITS[d] for d in digits),
                 )
             )
+        mpath = out_dir / f"{split}.jsonl"
+        write_manifest(mpath, utts)
+        manifests[split] = mpath
+    return manifests
+
+
+# ---------------------------------------------------------------- grammar
+# "Phone-number" phrase grammar for the LM shallow-fusion evidence run
+# (r3 VERDICT missing item 2): transcripts carry real sequence structure —
+# a small closed set of 3-digit area codes, a DASH connective, then a
+# 4-digit line number from a skewed Markov chain — so a language model
+# trained on them has genuine headroom over the acoustics, unlike uniform
+# random digit strings whose per-token entropy an LM cannot reduce.
+
+AREA_CODES = [(4, 1, 5), (2, 1, 2), (6, 5, 0), (9, 1, 7)]
+_P_STEP = 0.55   # next = (d + 3) % 10
+_P_REPEAT = 0.20  # next = d
+
+
+def sample_phrase(rng: np.random.Generator) -> list[int]:
+    """Word-id sequence: AREA(3) DASH LINE(4), line digits Markov-chained."""
+    words = list(AREA_CODES[int(rng.integers(len(AREA_CODES)))]) + [10]
+    d = int(rng.integers(10))
+    for _ in range(4):
+        words.append(d)
+        r = rng.random()
+        if r < _P_STEP:
+            d = (d + 3) % 10
+        elif r < _P_STEP + _P_REPEAT:
+            pass
+        else:
+            d = int(rng.integers(10))
+    return words
+
+
+def make_phrases_corpus(
+    out_dir: str | Path,
+    n_train: int = 2000,
+    n_dev: int = 100,
+    n_test: int = 100,
+    sr: int = 16000,
+    seed: int = 0,
+    speaker_jitter: float = 1.0,
+    noise: float = 0.03,
+) -> dict[str, Path]:
+    """Grammar-structured corpus (area-code phrases). Defaults are
+    noisier than make_digits_corpus so the acoustic model actually makes
+    errors an LM can correct."""
+    out_dir = Path(out_dir)
+    (out_dir / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    manifests = {}
+    for split, n in (("train", n_train), ("dev", n_dev), ("test", n_test)):
+        utts = []
+        for i in range(n):
+            words = sample_phrase(rng)
+            x = synth_digit_audio(words, sr=sr, rng=rng, noise=noise,
+                                  speaker_jitter=speaker_jitter)
+            uid = f"{split}_{i:05d}"
+            wav_path = out_dir / "wav" / f"{uid}.wav"
+            write_wav(wav_path, x, sr)
+            utts.append(Utterance(
+                id=uid,
+                audio=str(wav_path),
+                duration_s=len(x) / sr,
+                text=" ".join(WORDS[w] for w in words),
+            ))
         mpath = out_dir / f"{split}.jsonl"
         write_manifest(mpath, utts)
         manifests[split] = mpath

@@ -111,6 +111,17 @@ class Frontend:
         self.mel_b = jnp.asarray(
             mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.fmin, cfg.fmax)
         )
+        if cfg.impl == "pallas":
+            from pytorch_end2end_speech_recognition_tpu.ops.frontend_pallas import (
+                preemph_dft_bases,
+            )
+
+            basis = preemph_dft_bases(cos_b, sin_b, self.hop, cfg.preemphasis)
+            if cfg.dft_dtype == "bfloat16":
+                # halves the kernel's frame/basis MXU traffic; the DFT
+                # matmul accumulates in f32 (preferred_element_type)
+                basis = basis.astype(np.dtype("bfloat16"))
+            self.basis_pre = jnp.asarray(basis)
         self.global_mean = self.global_std = None
         if cfg.cmvn == "global":
             import json
@@ -142,50 +153,54 @@ class Frontend:
         """
         B, Ts = audio.shape
         T = self.n_frames(Ts)
-        x = jnp.concatenate(
-            [audio[:, :1], audio[:, 1:] - self.cfg.preemphasis * audio[:, :-1]],
-            axis=1,
-        )
+        flens = self.frame_lens(audio_lens)
         if self.cfg.impl == "pallas":
             from pytorch_end2end_speech_recognition_tpu.ops.frontend_pallas import (
                 logmel_pallas,
             )
-            cos_b, sin_b = self.cos_b, self.sin_b
-            if self.cfg.dft_dtype == "bfloat16":
-                # halves the kernel's streamed-audio HBM traffic; the DFT
-                # matmuls accumulate in f32 (preferred_element_type)
-                x = x.astype(jnp.bfloat16)
-                cos_b = cos_b.astype(jnp.bfloat16)
-                sin_b = sin_b.astype(jnp.bfloat16)
+
+            # raw audio in: preemphasis is folded into basis_pre, the
+            # overlapped framing happens in VMEM, and pad frames come back
+            # already zeroed (kernel epilogue mask)
             feats = logmel_pallas(
-                x, cos_b, sin_b, self.mel_b, self.hop, T
+                audio, self.basis_pre, self.mel_b, self.hop, T, flens
             )
         else:
+            x = jnp.concatenate(
+                [audio[:, :1],
+                 audio[:, 1:] - self.cfg.preemphasis * audio[:, :-1]],
+                axis=1,
+            )
             # frames via gather: idx (T, win)
             idx = (
                 jnp.arange(T)[:, None] * self.hop + jnp.arange(self.win)[None, :]
             )
             frames = x[:, idx]  # (B, T, win)
+            # precision='highest': on TPU the default f32 dot runs at bf16
+            # MXU precision, which is catastrophic for near-cancellation
+            # DFT bins (measured 2.6 max log-mel error vs the numpy oracle
+            # where the Pallas kernel shows 0.15); this is the reference /
+            # fallback path, so accuracy wins over speed
             re = jnp.einsum(
                 "btw,wf->btf", frames, self.cos_b,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision="highest",
             )
             im = jnp.einsum(
                 "btw,wf->btf", frames, self.sin_b,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision="highest",
             )
             power = re * re + im * im
             mel = jnp.einsum(
                 "btf,fm->btm", power, self.mel_b,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision="highest",
             )
             feats = jnp.log(mel + LOG_EPS)
-        flens = self.frame_lens(audio_lens)
-        mask = (jnp.arange(T)[None, :] < flens[:, None])[..., None]
-        feats = jnp.where(mask, feats, 0.0)
+            mask = (jnp.arange(T)[None, :] < flens[:, None])[..., None]
+            feats = jnp.where(mask, feats, 0.0)
         if self.cfg.cmvn == "utt":
             feats = cmvn_utt(feats, flens)
         elif self.cfg.cmvn == "global":
+            mask = (jnp.arange(T)[None, :] < flens[:, None])[..., None]
             feats = (feats - self.global_mean) / self.global_std
             feats = jnp.where(mask, feats, 0.0)
         return feats, flens
@@ -228,17 +243,22 @@ def cmvn_utt(feats: jnp.ndarray, frame_lens: jnp.ndarray) -> jnp.ndarray:
     Single-traversal moments (sum and sum-of-squares together) instead of
     the textbook mean-then-centered-variance form: the op is HBM-bound and
     the two-pass variance cost an extra full read of the feature tensor
-    (~0.4 ms/step at the B=32 x 30 s bench shape). E[x^2] - E[x]^2 on f32
-    log-mels (|x| <~ 25) keeps ~1e-6 relative variance accuracy, far inside
-    the oracle-test tolerance, and the 1e-8 floor guards cancellation.
+    (~0.4 ms/step at the B=32 x 30 s bench shape). The moments are taken of
+    `feats - feats[:, 0]` (the first frame as a per-row shift — one extra
+    frame read, not a pass): raw E[x^2]-E[x]^2 on log-mels with means ~ -23
+    cancels to ~mean^2*eps ~ 6e-5, so rows whose true variance is below
+    ~1e-4 (near-silent utterances) hit the 1e-8 floor and amplify rounding
+    noise ~30x (r3 ADVICE); shifting makes E[d^2] the same order as the
+    variance itself, restoring two-pass accuracy at one-pass cost.
     """
     T = feats.shape[1]
     mask = (jnp.arange(T)[None, :] < frame_lens[:, None])[..., None]
     n = jnp.maximum(frame_lens[:, None, None].astype(feats.dtype), 1.0)
-    masked = jnp.where(mask, feats, 0.0)
-    s1 = jnp.sum(masked, axis=1, keepdims=True)
-    s2 = jnp.sum(masked * masked, axis=1, keepdims=True)
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
-    out = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
+    off = feats[:, :1, :]  # valid whenever frame_lens > 0
+    d = jnp.where(mask, feats - off, 0.0)
+    s1 = jnp.sum(d, axis=1, keepdims=True)
+    s2 = jnp.sum(d * d, axis=1, keepdims=True)
+    mean_c = s1 / n
+    var = jnp.maximum(s2 / n - mean_c * mean_c, 0.0)
+    out = (d - mean_c) * jax.lax.rsqrt(var + 1e-8)
     return jnp.where(mask, out, 0.0)

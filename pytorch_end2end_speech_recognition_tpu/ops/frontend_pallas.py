@@ -3,26 +3,42 @@
 Replaces torchaudio's C++ fbank kernels with a single on-chip kernel
 (BASELINE.json:5 "the feature front-end becomes a Pallas kernel"):
 
-    framing -> windowed real DFT -> power -> mel projection -> log
+    preemphasis -> framing -> windowed real DFT -> power -> mel -> log
+    -> pad-frame masking
+
+The kernel consumes RAW padded audio and emits masked log-mel. The r3
+version ran a separate preemphasis pass, an f32 overlapped-view stack
+(~90 MB HBM materialization at the B=32 x 30 s bench shape) and the
+pad-frame mask as XLA passes around the kernel (~4.3 ms of a ~4.4 ms
+frontend region, PERF_r3.md §6); v4 folds preemphasis into the basis,
+halves the view stack (bf16, one fused slice+cast+stack) and masks in
+the kernel epilogue.
 
 TPU mapping:
-- Overlapping frames never materialize in HBM. A frame of `win` samples
-  starting every `hop` samples is decomposed into `n_sub = ceil(win/hop)`
-  consecutive hop-wide sub-blocks of the audio row viewed as (n_rows, hop);
-  the kernel re-assembles each tile's (t_tile, n_sub*hop) frame matrix with
-  a cheap VMEM lane-concat, so HBM streams ~n_sub x audio, not win/hop x.
-- The windowed DFT is ONE matmul per tile: (t_tile, win_pad) @
-  (win_pad, 2*f_pad) against the lane-concatenated [cos | sin] basis.
-  A single K=win_pad, N=2*f_pad MXU op replaces the previous
-  2*n_sub small (t_tile, hop) @ (hop, f_pad) sub-block matmuls, whose
-  K=hop=160 contraction left most MXU rows idle (the kernel measured
-  ~9% MFU standalone, ~26% of the whole encode bench step).
-- Bases are zero-padded: rows win -> n_sub*hop (extra taps multiply zero
-  weight) and bins 257 -> 384 (lane-aligned; extra bins carry zero mel
-  weight), so results are bit-identical to the unpadded math.
-- Grid: (B, frame tiles). Each program computes T_TILE frames:
-  concat + DFT matmul + square-add + (T_TILE, 384) @ (384, n_mels) mel
-  matmul + log, all in VMEM.
+- **Preemphasis is folded into the DFT basis.** y[n] = x[n] - a*x[n-1]
+  is linear, so the windowed DFT of y is a matmul of the RAW samples
+  against a modified basis: coeff(x[n]) = w[n]e[n,k] - a*w[n+1]e[n+1,k],
+  with one extra raw sample *before* the window (n = -1 carries
+  -a*w[0]e[0,k]). No separate preemphasis pass, no (B, Ts) rewrite, and
+  bit-equivalent to preemphasizing then framing (`preemph_dft_bases`).
+- A frame of (n_sub+1)*hop raw samples starting every `hop` samples is
+  decomposed into consecutive hop-wide sub-blocks of the front-padded
+  audio viewed as (n_rows, hop); XLA pre-shifts the n_sub+1 views (ONE
+  fused slice+cast+stack, bf16) and the kernel re-assembles each tile's
+  (t_tile, (n_sub+1)*hop) frame matrix with a VMEM lane-concat. Fully
+  in-kernel assembly was probed on hardware and does not lower:
+  tpu.concatenate rejects vregs at differing sublane offsets and
+  tpu.dynamic_rotate miscompiles the shift>8 rolls that would re-home
+  them, so the pre-shift stays in XLA.
+- The windowed DFT is ONE matmul per tile: (t_tile, L) @ (L, 2*f_pad)
+  against the lane-concatenated [cos | sin] preemph basis (L=(n_sub+1)*hop
+  rows, zero rows where no raw sample contributes; bins 257 -> 384
+  lane-aligned with zero mel weight) — results identical to the unpadded
+  math. bf16 operands halve the MXU cost; accumulation stays f32.
+- Pad-frame masking runs in the kernel epilogue against per-row frame
+  lengths in SMEM, so downstream masking/CMVN sees exact zeros without
+  another (B, T, M) pass.
+- Grid: (B, frame tiles); everything per program stays in VMEM (~1.5 MB).
 """
 
 from __future__ import annotations
@@ -44,65 +60,106 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_ref, basis_ref, mel_ref, out_ref, *, hop, n_sub, t_tile):
-    """One (batch row, frame tile) program. x_ref holds the n_sub shifted
-    hop-block views (n_sub, 1, t_tile, hop) for this tile — pre-shifted in
-    XLA so every VMEM load is sublane-aligned. basis_ref is the
-    lane-concatenated [cos | sin] windowed-DFT basis (win_pad, 2*f_pad)."""
+def preemph_dft_bases(
+    cos_b: np.ndarray,    # (win, F) windowed DFT cos basis (Hann folded in)
+    sin_b: np.ndarray,    # (win, F)
+    hop: int,
+    alpha: float,
+) -> np.ndarray:
+    """Fold preemphasis y[n] = x[n] - alpha*x[n-1] into the windowed-DFT
+    basis, re-indexed onto raw-audio lane positions.
+
+    Returns the lane-concatenated [cos | sin] operand of shape
+    (L, 2*f_pad), L = (n_sub+1)*hop, where lane m corresponds to raw
+    sample (frame_start + m - hop): the window proper occupies
+    m in [hop, hop+win) and lane hop-1 carries the -alpha*w[0]e[0,k]
+    preemphasis predecessor term. Rows/bins outside are zero, so the
+    matmul is bit-identical to preemphasize-then-frame-then-DFT."""
+    win, F = cos_b.shape
+    n_sub = -(-win // hop)
+    L = (n_sub + 1) * hop
+    f_pad = _round_up(F, LANE)
+
+    def ext(b):
+        e = np.zeros((L, f_pad), np.float32)
+        e[hop : hop + win, :F] += b
+        e[hop - 1 : hop + win - 1, :F] -= alpha * b
+        return e
+
+    return np.concatenate([ext(cos_b), ext(sin_b)], axis=1)
+
+
+def _kernel(flens_ref, x_ref, basis_ref, mel_ref, out_ref, *,
+            n_sub, t_tile):
+    """One (batch row, frame tile) program. x_ref holds the n_sub+1
+    row-shifted hop-block views (n_sub+1, 1, t_tile, hop) of the
+    front-padded audio for this tile — frame i spans padded rows
+    [i, i+n_sub], so view j supplies window offsets [j*hop, (j+1)*hop).
+    The views are pre-shifted in XLA: every in-kernel load is then
+    sublane-offset-0, which the lane-concat below requires (Mosaic rejects
+    concat of offset-j vregs, and tpu.dynamic_rotate miscompiles the
+    shift>8 rolls that would re-home them — both probed on hardware).
+    basis_ref = the preemph-folded [cos | sin] operand; flens_ref = valid
+    frame counts (SMEM)."""
     f_pad = basis_ref.shape[1] // 2
-    # (t_tile, win_pad) frame matrix: window offsets [j*hop, (j+1)*hop) of
-    # frame t live in x_ref[j, 0][t], so a lane-concat re-assembles frames.
-    frames = jnp.concatenate([x_ref[j, 0] for j in range(n_sub)], axis=1)
+    frames = jnp.concatenate([x_ref[j, 0] for j in range(n_sub + 1)], axis=1)
     reim = jnp.dot(frames, basis_ref[...], preferred_element_type=jnp.float32)
     re = reim[:, :f_pad]
     im = reim[:, f_pad:]
     power = re * re + im * im
     mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.log(mel + LOG_EPS)
+    logmel = jnp.log(mel + LOG_EPS)
+    # pad-frame mask: frames at/after this row's length are exact zeros
+    t0 = pl.program_id(1) * t_tile
+    valid = (t0 + jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
+             < flens_ref[pl.program_id(0), 0])
+    out_ref[0] = jnp.where(valid, logmel, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("hop", "n_frames"))
 def logmel_pallas(
-    x: jnp.ndarray,        # (B, Ts) preemphasized audio
-    cos_b: jnp.ndarray,    # (win, F) windowed DFT cos basis
-    sin_b: jnp.ndarray,    # (win, F)
-    mel_b: jnp.ndarray,    # (F, M)
+    x: jnp.ndarray,        # (B, Ts) RAW padded audio (no preemphasis)
+    basis: jnp.ndarray,    # (L, 2*f_pad) preemph_dft_bases output; its
+    #                        dtype (f32/bf16) selects the MXU operand dtype
+    mel_b: jnp.ndarray,    # (F, M) mel filterbank
     hop: int,
     n_frames: int,
+    frame_lens: jnp.ndarray,  # (B,) valid frame counts
 ) -> jnp.ndarray:
-    """(B, Ts) -> (B, n_frames, M) log-mel, fused on-chip."""
+    """(B, Ts) raw audio -> (B, n_frames, M) masked log-mel, fused on-chip."""
     B, Ts = x.shape
-    win, F = cos_b.shape
-    M = mel_b.shape[1]
-    n_sub = -(-win // hop)
-    win_pad = n_sub * hop
+    L = basis.shape[0]
+    n_sub = L // hop - 1
+    assert n_sub >= 1, f"window {L} shorter than hop {hop}"
+    F, M = mel_b.shape
     f_pad = _round_up(F, LANE)
 
     t_tile = min(T_TILE, _round_up(n_frames, 8))
     n_tiles = -(-n_frames // t_tile)
     t_total = n_tiles * t_tile
-    # samples needed: (t_total + n_sub) * hop
-    n_rows = t_total + n_sub
+    # front-pad ONE hop row (the preemphasis predecessor of sample 0 is
+    # zero); back-pad so view n_sub of the last tile stays in bounds
+    n_rows = t_total + n_sub + 1
     need = n_rows * hop
-    if Ts < need:
-        x = jnp.pad(x, ((0, 0), (0, need - Ts)))
-    xr = x[:, :need].reshape(B, n_rows, hop)
-    # n_sub shifted views (n_sub, B, t_total, hop): frame t's j-th sub-block
-    xs = jnp.stack([xr[:, j : j + t_total] for j in range(n_sub)], axis=0)
+    keep = min(Ts, need - hop)
+    z = jnp.pad(x[:, :keep], ((0, 0), (hop, need - hop - keep)))
+    zr = z.reshape(B, n_rows, hop)
+    # n_sub+1 shifted views (n_sub+1, B, t_total, hop), cast to the basis
+    # dtype (bf16 on TPU halves this HBM temp — the kernel's dominant
+    # traffic); one fused XLA slice+cast+stack
+    xs = jnp.stack([zr[:, j : j + t_total] for j in range(n_sub + 1)],
+                   axis=0).astype(basis.dtype)
 
-    # pad bases: rows win -> win_pad (zeros), bins F -> f_pad (zeros);
-    # lane-concat cos|sin into one (win_pad, 2*f_pad) matmul operand
-    def prep(b):
-        return jnp.pad(b, ((0, win_pad - win), (0, f_pad - F)))
-
-    basis = jnp.concatenate([prep(cos_b), prep(sin_b)], axis=1)
     melp = jnp.pad(mel_b, ((0, f_pad - F), (0, 0)))
+    flens = frame_lens.astype(jnp.int32).reshape(B, 1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hop=hop, n_sub=n_sub, t_tile=t_tile),
+        functools.partial(_kernel, n_sub=n_sub, t_tile=t_tile),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((n_sub, 1, t_tile, hop), lambda b, t: (0, b, t, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flens: whole (B,1)
+            pl.BlockSpec((n_sub + 1, 1, t_tile, hop),
+                         lambda b, t: (0, b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -111,9 +168,9 @@ def logmel_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, t_total, M), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * t_total * (2 * win_pad + M) * f_pad,
+            flops=2 * B * t_total * (2 * L + M) * f_pad,
             bytes_accessed=B * need * 4 + B * t_total * M * 4,
             transcendentals=B * t_total * M,
         ),
-    )(xs, basis, melp)
+    )(flens, xs, basis, melp)
     return out[:, :n_frames]

@@ -231,3 +231,29 @@ def test_vocab_hash_guards_checkpoint_mismatch(tmp_path, digits_corpus):
     bad = Solver(cfg, tok_b)
     with pytest.raises(ValueError, match="tokenizer/checkpoint mismatch"):
         bad.load_checkpoint("last")
+
+
+def test_phrases_corpus_grammar(tmp_path):
+    """Grammar corpus for the LM-fusion evidence run: AREA(3) DASH LINE(4),
+    area codes from the closed set (data/synthetic.make_phrases_corpus)."""
+    import numpy as np
+
+    from pytorch_end2end_speech_recognition_tpu.data.audio import load_audio
+    from pytorch_end2end_speech_recognition_tpu.data.synthetic import (
+        AREA_CODES,
+        WORDS,
+        make_phrases_corpus,
+        sample_phrase,
+    )
+
+    rng = np.random.default_rng(1)
+    areas = {tuple(sample_phrase(rng)[:3]) for _ in range(40)}
+    assert areas <= set(AREA_CODES) and len(areas) > 1
+    m = make_phrases_corpus(tmp_path, n_train=3, n_dev=1, n_test=1)
+    utts = read_manifest(m["train"])
+    for u in utts:
+        words = u.text.split()
+        assert len(words) == 8 and words[3] == "DASH"
+        assert all(w in WORDS for w in words)
+        a = load_audio(u.audio, 16000)
+        assert len(a) > 16000 and np.abs(a).max() > 0.05

@@ -21,41 +21,54 @@ from pytorch_end2end_speech_recognition_tpu.utils.config import FrontendConfig
 
 
 def test_logmel_pallas_matches_oracle(rng):
-    cfg = FrontendConfig(cmvn="none", spec_augment=False)
+    """The kernel consumes RAW audio: preemphasis (folded into the DFT
+    basis), framing, DFT, mel, log and pad masking all happen on-chip."""
+    cfg = FrontendConfig(cmvn="none", spec_augment=False, impl="pallas")
     fe = Frontend(cfg)
     x = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
-    xp = np.concatenate([x[:, :1], x[:, 1:] - cfg.preemphasis * x[:, :-1]],
-                        axis=1)
     T = fe.n_frames(16000)
+    flens = jnp.asarray([T, T], jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(xp), fe.cos_b, fe.sin_b, fe.mel_b,
-                            fe.hop, T)
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+                            fe.hop, T, flens)
     assert out.shape == (2, T, cfg.n_mels)
     for b in range(2):
-        ref = logmel_np(x[b], cfg)
+        ref = logmel_np(x[b], cfg)  # oracle includes preemphasis
         np.testing.assert_allclose(
             np.asarray(out[b, : ref.shape[0]]), ref, rtol=1e-3, atol=1e-3
         )
 
 
+def test_logmel_pallas_masks_pad_frames(rng):
+    cfg = FrontendConfig(cmvn="none", spec_augment=False, impl="pallas")
+    fe = Frontend(cfg)
+    x = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    x[1] = x[0]  # same audio, shorter declared length
+    T = fe.n_frames(16000)
+    flens = jnp.asarray([T, T // 3], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+                            fe.hop, T, flens)
+    out = np.asarray(out)
+    assert np.all(out[1, T // 3 :] == 0.0)
+    assert np.any(out[1, : T // 3] != 0.0)
+    np.testing.assert_allclose(out[1, : T // 3], out[0, : T // 3],
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_logmel_pallas_odd_sizes(rng):
     """Non-multiple-of-tile frame counts and short audio."""
-    cfg = FrontendConfig(cmvn="none", spec_augment=False)
+    cfg = FrontendConfig(cmvn="none", spec_augment=False, impl="pallas")
     fe = Frontend(cfg)
     x = rng.standard_normal((1, 7 * 160 + 400)).astype(np.float32)
     T = fe.n_frames(x.shape[1])
     assert T == 8
+    flens = jnp.asarray([T], jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(x), fe.cos_b, fe.sin_b, fe.mel_b,
-                            fe.hop, T)
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+                            fe.hop, T, flens)
     assert out.shape == (1, 8, cfg.n_mels)
-    ref = logmel_np(x[0], cfg)  # no preemphasis applied here on purpose:
-    # oracle includes preemphasis; apply to match
-    xp = np.concatenate([x[:, :1], x[:, 1:] - cfg.preemphasis * x[:, :-1]],
-                        axis=1)
-    with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(xp), fe.cos_b, fe.sin_b, fe.mel_b,
-                            fe.hop, T)
+    ref = logmel_np(x[0], cfg)
     np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=1e-3, atol=1e-3)
 
 

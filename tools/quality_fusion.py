@@ -1,0 +1,137 @@
+"""End-to-end RNN-LM shallow-fusion evidence run (r3 VERDICT missing item 2;
+BASELINE.json:10 rung 4 "joint CTC/attention beam search w/ RNN-LM shallow
+fusion").
+
+Pipeline on the grammar phrases corpus (data/synthetic.make_phrases_corpus —
+area-code phone numbers with Markov-chained line digits, noisy enough that
+the acoustic model makes correctable errors):
+
+  1. train the conformer recipe (same shape as tools/quality_digits.py)
+  2. train a char RNN-LM on the training transcripts (cli/train_lm)
+  3. beam-decode dev sweeping lm_weight in {0, 0.1, 0.2, 0.3, 0.5}
+  4. decode test at the best dev weight (and at 0 for the contrast)
+  5. record everything in bench_results/r4_quality.json
+
+Usage: python tools/quality_fusion.py [workdir] [steps] [k=v overrides...]
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent))         # tools/
+import json
+import time
+
+from pytorch_end2end_speech_recognition_tpu.data.synthetic import (
+    make_phrases_corpus,
+)
+from quality_digits import build_cfg
+
+
+def sweep_decode(cfg, tok, lm, manifest, weights):
+    """Beam-decode one manifest at several lm_weights, reusing the loaded
+    model/loader; returns {weight: {"wer":, "ser":, "cer":}}."""
+    import copy
+
+    from pytorch_end2end_speech_recognition_tpu.data.dataset import (
+        BucketedLoader,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+    from pytorch_end2end_speech_recognition_tpu.decode.beam import (
+        BeamSearchDecoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.metrics.wer import ErrorStats
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+
+    solver = Solver(cfg, tok)
+    solver.load_checkpoint("best")
+    model = solver.merged_model()
+    utts = read_manifest(manifest)
+    loader = BucketedLoader(utts, tok, cfg.data,
+                            sample_rate=cfg.frontend.sample_rate, train=False)
+    out = {}
+    for w in weights:
+        dcfg = copy.deepcopy(cfg.decode)
+        dcfg.lm_weight = float(w)
+        beam = BeamSearchDecoder(model, dcfg, lm=lm if w > 0 else None)
+        wer, cer = ErrorStats(), ErrorStats()
+        for batch in loader.epoch(0):
+            results = beam.decode_batch(batch, tok)
+            for i, r in enumerate(results):
+                if batch.audio_lens[i] == 0:
+                    continue
+                hyp = r[0]["text"] if r else ""
+                ref = batch.texts[i]
+                wer.update(ref.split(), hyp.split())
+                cer.update(list(ref.replace(" ", "")),
+                           list(hyp.replace(" ", "")))
+        out[w] = {"wer": round(wer.rate, 4), "ser": round(wer.ser, 4),
+                  "cer": round(cer.rate, 4)}
+        print(f"[fusion] lm_weight={w}: {out[w]}", flush=True)
+    return out
+
+
+def main():
+    workdir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fusion_quality")
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    overrides = sys.argv[3:]
+    workdir.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    corpus_dir = workdir / "corpus"
+    if not (corpus_dir / "train.jsonl").exists():
+        make_phrases_corpus(corpus_dir, n_train=2000, n_dev=100, n_test=100,
+                            speaker_jitter=1.0, noise=0.03)
+        print(f"corpus: {time.time()-t0:.0f}s", flush=True)
+    cfg = build_cfg(workdir, corpus_dir, steps)
+    cfg.name = "fusion_quality"
+    for kv in overrides:
+        k, v = kv.split("=", 1)
+        cfg.override(k, v)
+    cfg_path = workdir / "config.json"
+    cfg_path.write_text(cfg.to_json())
+
+    from pytorch_end2end_speech_recognition_tpu.cli import train, train_lm
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        load_for_config,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+    if not (Path(cfg.train.checkpoint_dir) / "best").exists():
+        train.main(["--config", str(cfg_path)])
+        print(f"train done: {time.time()-t0:.0f}s", flush=True)
+    # config may have been written by the train CLI with resolved fields
+    cfg = AsrConfig.from_json(cfg_path.read_text())
+
+    lm_dir = workdir / "lm"
+    if not (lm_dir / "lm").exists():
+        train_lm.main(["--config", str(cfg_path), "--out", str(lm_dir),
+                       "--steps", "3000"])
+        print(f"lm done: {time.time()-t0:.0f}s", flush=True)
+
+    tok = load_for_config(cfg)
+    lm = train_lm.load_lm(str(lm_dir), cfg, tok)
+
+    weights = [0.0, 0.1, 0.2, 0.3, 0.5]
+    dev = sweep_decode(cfg, tok, lm, cfg.data.dev_manifest, weights)
+    best_w = min(dev, key=lambda w: (dev[w]["wer"], w))
+    test_ws = sorted({0.0, best_w})
+    test = sweep_decode(cfg, tok, lm, cfg.data.test_manifest, test_ws)
+
+    rec = {
+        "recipe": "fusion_quality (grammar phrases corpus)",
+        "steps": steps,
+        "lm": "RnnLm char, 3000 steps on train transcripts",
+        "dev_sweep": {str(w): dev[w] for w in weights},
+        "best_lm_weight": best_w,
+        "test": {str(w): test[w] for w in test_ws},
+        "wall_s": round(time.time() - t0, 1),
+    }
+    out_path = Path(__file__).resolve().parent.parent / "bench_results" / "r4_quality.json"
+    out_path.write_text(json.dumps(rec, indent=2))
+    print(json.dumps(rec, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
