@@ -481,7 +481,8 @@ def _dt_of(linear: nnx.Linear):
 
 
 class FfnBlock(nnx.Module):
-    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, scale: float = 1.0):
+    def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, scale: float = 1.0,
+                 mesh=None):
         D = cfg.encoder_dim
         dt = _dt(cfg)
         self.scale = scale
@@ -490,8 +491,38 @@ class FfnBlock(nnx.Module):
         self.fc2 = nnx.Linear(cfg.encoder_ffn_dim, D, dtype=dt, rngs=rngs)
         self.rate = cfg.encoder_dropout
         self.rdt = _rdt(cfg)
+        self.wdt = dt
+        # fused Pallas FFN (ops/ffn_pallas.py): only off the sharded paths
+        # (a pallas_call is opaque to GSPMD partitioning) and only when
+        # weights + grad accumulators fit VMEM (flagship yes; rung 4/5 no —
+        # F-blocked variant is future work)
+        from pytorch_end2end_speech_recognition_tpu.ops.ffn_pallas import (
+            fits_vmem,
+        )
+
+        sharded = mesh is not None and int(
+            dict(mesh.shape).get("model", 1)) > 1
+        self.use_pallas = (
+            cfg.ffn_impl == "pallas" and not sharded and not cfg.sp
+            and cfg.pp_stages == 1
+            and fits_vmem(D, cfg.encoder_ffn_dim)
+        )
 
     def __call__(self, x, train: bool = False, rng=None):
+        if self.use_pallas and jax.default_backend() not in ("cpu",):
+            from pytorch_end2end_speech_recognition_tpu.ops.ffn_pallas import (
+                ffn_block_fused,
+            )
+
+            return ffn_block_fused(
+                x, self.ln.scale[...], self.ln.bias[...],
+                self.fc1.kernel[...].astype(self.wdt),
+                self.fc1.bias[...].astype(self.wdt),
+                self.fc2.kernel[...].astype(self.wdt),
+                self.fc2.bias[...].astype(self.wdt),
+                rate=self.rate, scale=self.scale,
+                rng=rng if train else None,
+            )
         h = self.fc2(jax.nn.silu(self.fc1(self.ln(x)))).astype(self.rdt)
         h = dropout(h, self.rate, rng, train)
         return x + self.scale * h
@@ -501,7 +532,7 @@ class TransformerBlock(nnx.Module):
     def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, relative: bool,
                  mesh=None):
         self.mhsa = MhsaBlock(cfg, rngs, relative=relative, mesh=mesh)
-        self.ffn = FfnBlock(cfg, rngs)
+        self.ffn = FfnBlock(cfg, rngs, mesh=mesh)
 
     def __call__(self, x, mask, train: bool = False, rng=None, bias=None,
                  bias_diag=None):
@@ -580,12 +611,12 @@ class ConvModule(nnx.Module):
 
 class ConformerBlock(nnx.Module):
     def __init__(self, cfg: ModelConfig, rngs: nnx.Rngs, mesh=None):
-        self.ff1 = FfnBlock(cfg, rngs, scale=0.5)
+        self.ff1 = FfnBlock(cfg, rngs, scale=0.5, mesh=mesh)
         self.mhsa = MhsaBlock(cfg, rngs,
                               relative=cfg.pos_encoding == "relative",
                               mesh=mesh)
         self.conv = ConvModule(cfg, rngs)
-        self.ff2 = FfnBlock(cfg, rngs, scale=0.5)
+        self.ff2 = FfnBlock(cfg, rngs, scale=0.5, mesh=mesh)
         self.ln = nnx.LayerNorm(cfg.encoder_dim, rngs=rngs)
 
     def __call__(self, x, mask, train: bool = False, rng=None, bias=None,

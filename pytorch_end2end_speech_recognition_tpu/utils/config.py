@@ -111,6 +111,9 @@ class ModelConfig:
     ctc_impl: str = "auto"
     lstm_impl: str = "auto"
     attn_impl: str = "auto"          # encoder self-attention (fused Pallas)
+    # fused LN+fc1+SiLU+dropout+fc2+residual FFN block (ops/ffn_pallas.py);
+    # auto-falls back to XLA when TP/SP-sharded or weights exceed VMEM
+    ffn_impl: str = "auto"
     remat: bool = False              # jax.checkpoint encoder blocks (memory)
     # context parallelism for encoder self-attention over the 'model' axis:
     # '' (off) | 'ring' | 'ulysses'; composes with either pos_encoding
@@ -312,4 +315,10 @@ def resolve_platform(cfg: AsrConfig, backend: str | None = None) -> AsrConfig:
     for k in ("ctc_impl", "lstm_impl", "attn_impl"):
         if getattr(m, k) == "auto":
             setattr(m, k, "pallas" if tpu else "xla")
+    if m.ffn_impl == "auto":
+        # opt-in for now: the fused FFN passes its interpret-mode oracles
+        # but its first on-hardware train-step compile stalled in Mosaic
+        # (>15 min, killed); flip to pallas-on-TPU once
+        # tools/probe_ffn_tpu.py validates compile + numerics + a step win
+        m.ffn_impl = "xla"
     return cfg

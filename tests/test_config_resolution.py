@@ -27,6 +27,8 @@ def test_presets_resolve_to_production_tpu_config(name):
     assert cfg.model.ctc_impl == "pallas"
     assert cfg.model.attn_impl == "pallas"
     assert cfg.model.lstm_impl == "pallas"
+    # fused FFN is opt-in pending hardware validation (see resolve_platform)
+    assert cfg.model.ffn_impl == "xla"
     assert cfg.train.prng_impl == "rbg"
 
 
@@ -40,6 +42,7 @@ def test_presets_resolve_to_portable_cpu_config(name):
     assert cfg.model.ctc_impl == "xla"
     assert cfg.model.attn_impl == "xla"
     assert cfg.model.lstm_impl == "xla"
+    assert cfg.model.ffn_impl == "xla"
 
 
 def test_explicit_override_is_the_opt_out():

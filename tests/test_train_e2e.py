@@ -197,5 +197,7 @@ def test_grad_accumulation(digits_corpus, tmp_path):
         np.asarray(v[...]).ravel()[:4]
         for v in jax.tree_util.tree_leaves(solver.params)])
     assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd micro-step
+    cfg.train.log_every = 5  # >1 history point within the short fit below
     hist = solver.fit(loader, steps=40)  # CTC falls fast from init; 40 is
-    assert hist["loss"][-1] < hist["loss"][0]  # plenty (was 120: ~15s CPU)
+    assert len(hist["loss"]) > 2  # plenty (was 120: ~15s CPU)
+    assert hist["loss"][-1] < hist["loss"][0]

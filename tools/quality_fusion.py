@@ -74,15 +74,25 @@ def sweep_decode(cfg, tok, lm, manifest, weights):
 
 
 def main():
+    # argv: [workdir] [steps] [noise=X] [jitter=X] [k=v cfg overrides...]
     workdir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fusion_quality")
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
-    overrides = sys.argv[3:]
+    overrides = []
+    noise, jitter = 0.03, 1.0
+    for kv in sys.argv[3:]:
+        k, v = kv.split("=", 1)
+        if k == "noise":
+            noise = float(v)
+        elif k == "jitter":
+            jitter = float(v)
+        else:
+            overrides.append(kv)
     workdir.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
     corpus_dir = workdir / "corpus"
     if not (corpus_dir / "train.jsonl").exists():
         make_phrases_corpus(corpus_dir, n_train=2000, n_dev=100, n_test=100,
-                            speaker_jitter=1.0, noise=0.03)
+                            speaker_jitter=jitter, noise=noise)
         print(f"corpus: {time.time()-t0:.0f}s", flush=True)
     cfg = build_cfg(workdir, corpus_dir, steps)
     cfg.name = "fusion_quality"
@@ -121,6 +131,8 @@ def main():
 
     rec = {
         "recipe": "fusion_quality (grammar phrases corpus)",
+        "corpus": {"noise": noise, "speaker_jitter": jitter,
+                   "n_train": 2000},
         "steps": steps,
         "lm": "RnnLm char, 3000 steps on train transcripts",
         "dev_sweep": {str(w): dev[w] for w in weights},
