@@ -79,12 +79,15 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     overrides = []
     noise, jitter = 0.03, 1.0
+    weights = [0.0, 0.1, 0.2, 0.3, 0.5]
     for kv in sys.argv[3:]:
         k, v = kv.split("=", 1)
         if k == "noise":
             noise = float(v)
         elif k == "jitter":
             jitter = float(v)
+        elif k == "weights":
+            weights = [float(w) for w in v.split(",")]
         else:
             overrides.append(kv)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -123,7 +126,6 @@ def main():
     tok = load_for_config(cfg)
     lm = train_lm.load_lm(str(lm_dir), cfg, tok)
 
-    weights = [0.0, 0.1, 0.2, 0.3, 0.5]
     dev = sweep_decode(cfg, tok, lm, cfg.data.dev_manifest, weights)
     best_w = min(dev, key=lambda w: (dev[w]["wer"], w))
     test_ws = sorted({0.0, best_w})
