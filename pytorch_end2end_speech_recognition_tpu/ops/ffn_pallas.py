@@ -57,10 +57,12 @@ def fits_vmem(D: int, F: int, budget_bytes: int = 9 * 2 ** 20) -> bool:
 def _dropout_mask(shape, rate):
     """Keep-mask/(1-rate) from the hardware PRNG (caller seeded it)."""
     bits = pltpu.prng_random_bits(shape)
-    # top 24 bits -> exact uniform in [0, 1) as f32; drop iff u < rate
-    u = (jax.lax.shift_right_logical(bits.astype(jnp.uint32),
-                                     jnp.uint32(8))
-         .astype(jnp.float32) * (1.0 / (1 << 24)))
+    # low 24 bits -> exact uniform in [0, 1) as f32; drop iff u < rate.
+    # (Mosaic can't convert uint32->f32, so mask in signed space: the AND
+    # keeps the value in [0, 2^24) where int32 == uint32.)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    u24 = jnp.bitwise_and(bits, jnp.int32(0x00FFFFFF))
+    u = u24.astype(jnp.float32) * (1.0 / (1 << 24))
     return (u >= rate).astype(jnp.float32) / (1.0 - rate)
 
 
