@@ -82,19 +82,31 @@ def _build_beam_fn(model, decode_cfg):
 
 def export_bundle(cfg, tokenizer, out_dir, checkpoint_tag="best",
                   mode="greedy", batch_sizes=(1, 8), seconds=(10, 30),
-                  platforms=None) -> Path:
-    """AOT-export the trained model into a serving bundle directory."""
+                  platforms=None, mesh=None) -> Path:
+    """AOT-export the trained model into a serving bundle directory.
+
+    `mesh`: restore the checkpoint through a mesh-sharded Solver (the
+    training topology). Serving artifacts are single-device programs, so
+    the sharded state is gathered to host and re-baked unsharded — a
+    bundle exported from a pod-trained checkpoint is identical to one
+    exported single-device (tests/test_serving.py)."""
     import jax
     import jax.numpy as jnp
+    from flax import nnx
     from jax import export as jexport
 
     from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    solver = Solver(cfg, tokenizer)
+    solver = Solver(cfg, tokenizer, mesh=mesh)
     solver.load_checkpoint(checkpoint_tag)
     model = solver.merged_model()
+    if mesh is not None:
+        graphdef, state = nnx.split(model)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(jax.device_get(x)), state)
+        model = nnx.merge(graphdef, state)
 
     if mode == "beam":
         fn = _build_beam_fn(model, cfg.decode)
