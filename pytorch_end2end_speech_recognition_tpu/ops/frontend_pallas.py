@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG_EPS = 1e-10
-T_TILE = 256
+T_TILE = 512
 LANE = 128
 
 
