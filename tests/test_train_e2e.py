@@ -201,3 +201,35 @@ def test_grad_accumulation(digits_corpus, tmp_path):
     hist = solver.fit(loader, steps=40)  # CTC falls fast from init; 40 is
     assert len(hist["loss"]) > 2  # plenty (was 120: ~15s CPU)
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+@pytest.mark.slow  # hybrid fit + streaming beam compile
+def test_transcribe_cli_streaming_beam(trained_blstm, tmp_path, capsys):
+    """cli/transcribe --streaming --mode beam: greedy partials + chunk-final
+    joint beam through the CLI wiring (models/streaming tested separately)."""
+    import copy
+    import json as _json
+
+    from pytorch_end2end_speech_recognition_tpu.cli import transcribe
+
+    cfg, tok, utts, loader, _ = trained_blstm
+    cfg = copy.deepcopy(cfg)
+    cfg.model.ctc_weight = 0.3
+    cfg.model.decoder_layers = 1
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt_sb")
+    cfg.train.metrics_path = str(tmp_path / "msb.jsonl")
+    cfg.decode.beam_size = 4
+    cfg.decode.pre_beam_k = 6
+    solver = Solver(cfg, tok)
+    solver.fit(BucketedLoader(utts, tok, cfg.data), steps=5)
+    solver.save_checkpoint("last")
+    tok.save(tmp_path / "tok.json")
+    cfg.data.tokenizer_path = str(tmp_path / "tok.json")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    transcribe.main(["--config", str(cfg_path), "--checkpoint-tag", "last",
+                     "--streaming", "--mode", "beam", "--chunk-s", "1.0",
+                     utts[0].audio])
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["file"] == utts[0].audio
+    assert isinstance(rec["text"], str)
