@@ -116,12 +116,14 @@ class Frontend:
                 preemph_dft_bases,
             )
 
-            basis = preemph_dft_bases(cos_b, sin_b, self.hop, cfg.preemphasis)
+            basis, basis_prev = preemph_dft_bases(cos_b, sin_b, self.hop,
+                                                  cfg.preemphasis)
             if cfg.dft_dtype == "bfloat16":
                 # halves the kernel's frame/basis MXU traffic; the DFT
                 # matmul accumulates in f32 (preferred_element_type)
                 basis = basis.astype(np.dtype("bfloat16"))
             self.basis_pre = jnp.asarray(basis)
+            self.basis_prev = jnp.asarray(basis_prev)
         self.global_mean = self.global_std = None
         if cfg.cmvn == "global":
             import json
@@ -163,7 +165,8 @@ class Frontend:
             # overlapped framing happens in VMEM, and pad frames come back
             # already zeroed (kernel epilogue mask)
             feats = logmel_pallas(
-                audio, self.basis_pre, self.mel_b, self.hop, T, flens
+                audio, self.basis_pre, self.basis_prev, self.mel_b,
+                self.hop, T, flens
             )
         else:
             x = jnp.concatenate(

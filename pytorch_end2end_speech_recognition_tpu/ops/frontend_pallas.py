@@ -65,45 +65,58 @@ def preemph_dft_bases(
     sin_b: np.ndarray,    # (win, F)
     hop: int,
     alpha: float,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Fold preemphasis y[n] = x[n] - alpha*x[n-1] into the windowed-DFT
     basis, re-indexed onto raw-audio lane positions.
 
-    Returns the lane-concatenated [cos | sin] operand of shape
-    (L, 2*f_pad), L = (n_sub+1)*hop, where lane m corresponds to raw
-    sample (frame_start + m - hop): the window proper occupies
-    m in [hop, hop+win) and lane hop-1 carries the -alpha*w[0]e[0,k]
-    preemphasis predecessor term. Rows/bins outside are zero, so the
-    matmul is bit-identical to preemphasize-then-frame-then-DFT."""
+    Returns (basis, basis_prev):
+    - basis: lane-concatenated [cos | sin] operand (L, 2*f_pad),
+      L = n_sub*hop, lane m = raw sample (frame_start + m). Row m carries
+      w[m]e[m,k] - alpha*w[m+1]e[m+1,k] for the window proper — every
+      in-window preemphasis term EXCEPT the one referencing the sample
+      before the frame.
+    - basis_prev: (1, 2*f_pad) row -alpha*w[0]e[0,k] — the coefficient of
+      that predecessor sample x[frame_start - 1], applied in-kernel as a
+      rank-1 update (streaming a whole extra hop-block view for one
+      meaningful lane cost ~25% of the kernel's flops and stack traffic).
+    Together the result is bit-identical to preemphasize-then-frame."""
     win, F = cos_b.shape
     n_sub = -(-win // hop)
-    L = (n_sub + 1) * hop
+    L = n_sub * hop
     f_pad = _round_up(F, LANE)
 
     def ext(b):
         e = np.zeros((L, f_pad), np.float32)
-        e[hop : hop + win, :F] += b
-        e[hop - 1 : hop + win - 1, :F] -= alpha * b
+        e[:win, :F] += b
+        e[: win - 1, :F] -= alpha * b[1:]
         return e
 
-    return np.concatenate([ext(cos_b), ext(sin_b)], axis=1)
+    def prev(b):
+        e = np.zeros((1, f_pad), np.float32)
+        e[0, :F] = -alpha * b[0]
+        return e
+
+    return (np.concatenate([ext(cos_b), ext(sin_b)], axis=1),
+            np.concatenate([prev(cos_b), prev(sin_b)], axis=1))
 
 
-def _kernel(flens_ref, x_ref, basis_ref, mel_ref, out_ref, *,
-            n_sub, t_tile):
-    """One (batch row, frame tile) program. x_ref holds the n_sub+1
-    row-shifted hop-block views (n_sub+1, 1, t_tile, hop) of the
-    front-padded audio for this tile — frame i spans padded rows
-    [i, i+n_sub], so view j supplies window offsets [j*hop, (j+1)*hop).
-    The views are pre-shifted in XLA: every in-kernel load is then
-    sublane-offset-0, which the lane-concat below requires (Mosaic rejects
-    concat of offset-j vregs, and tpu.dynamic_rotate miscompiles the
-    shift>8 rolls that would re-home them — both probed on hardware).
-    basis_ref = the preemph-folded [cos | sin] operand; flens_ref = valid
-    frame counts (SMEM)."""
+def _kernel(flens_ref, x_ref, prev_ref, basis_ref, bprev_ref, mel_ref,
+            out_ref, *, n_sub, t_tile):
+    """One (batch row, frame tile) program. x_ref holds the n_sub
+    row-shifted hop-block views (n_sub, 1, t_tile, hop) of the audio for
+    this tile — frame i spans rows [i, i+n_sub), view j supplies window
+    offsets [j*hop, (j+1)*hop). The views are pre-shifted in XLA: every
+    in-kernel load is then sublane-offset-0, which the lane-concat below
+    requires (Mosaic rejects concat of offset-j vregs, and
+    tpu.dynamic_rotate miscompiles the shift>8 rolls that would re-home
+    them — both probed on hardware). prev_ref (1, t_tile, 1) holds each
+    frame's preemphasis predecessor sample, applied as a rank-1 update
+    against bprev_ref; basis_ref = the preemph-folded [cos | sin]
+    operand; flens_ref = valid frame counts (SMEM)."""
     f_pad = basis_ref.shape[1] // 2
-    frames = jnp.concatenate([x_ref[j, 0] for j in range(n_sub + 1)], axis=1)
+    frames = jnp.concatenate([x_ref[j, 0] for j in range(n_sub)], axis=1)
     reim = jnp.dot(frames, basis_ref[...], preferred_element_type=jnp.float32)
+    reim = reim + (prev_ref[0].astype(jnp.float32) * bprev_ref[...])
     re = reim[:, :f_pad]
     im = reim[:, f_pad:]
     power = re * re + im * im
@@ -119,8 +132,9 @@ def _kernel(flens_ref, x_ref, basis_ref, mel_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("hop", "n_frames"))
 def logmel_pallas(
     x: jnp.ndarray,        # (B, Ts) RAW padded audio (no preemphasis)
-    basis: jnp.ndarray,    # (L, 2*f_pad) preemph_dft_bases output; its
-    #                        dtype (f32/bf16) selects the MXU operand dtype
+    basis: jnp.ndarray,    # (L, 2*f_pad) preemph_dft_bases main operand;
+    #                        its dtype (f32/bf16) selects the MXU dtype
+    basis_prev: jnp.ndarray,  # (1, 2*f_pad) predecessor-sample row (f32)
     mel_b: jnp.ndarray,    # (F, M) mel filterbank
     hop: int,
     n_frames: int,
@@ -129,7 +143,7 @@ def logmel_pallas(
     """(B, Ts) raw audio -> (B, n_frames, M) masked log-mel, fused on-chip."""
     B, Ts = x.shape
     L = basis.shape[0]
-    n_sub = L // hop - 1
+    n_sub = L // hop
     assert n_sub >= 1, f"window {L} shorter than hop {hop}"
     F, M = mel_b.shape
     f_pad = _round_up(F, LANE)
@@ -137,18 +151,22 @@ def logmel_pallas(
     t_tile = min(T_TILE, _round_up(n_frames, 8))
     n_tiles = -(-n_frames // t_tile)
     t_total = n_tiles * t_tile
-    # front-pad ONE hop row (the preemphasis predecessor of sample 0 is
-    # zero); back-pad so view n_sub of the last tile stays in bounds
-    n_rows = t_total + n_sub + 1
+    # back-pad so view n_sub-1 of the last tile stays in bounds
+    n_rows = t_total + n_sub
     need = n_rows * hop
-    keep = min(Ts, need - hop)
-    z = jnp.pad(x[:, :keep], ((0, 0), (hop, need - hop - keep)))
+    keep = min(Ts, need)
+    z = jnp.pad(x[:, :keep], ((0, 0), (0, need - keep)))
     zr = z.reshape(B, n_rows, hop)
-    # n_sub+1 shifted views (n_sub+1, B, t_total, hop), cast to the basis
+    # n_sub shifted views (n_sub, B, t_total, hop), cast to the basis
     # dtype (bf16 on TPU halves this HBM temp — the kernel's dominant
-    # traffic); one fused XLA slice+cast+stack
-    xs = jnp.stack([zr[:, j : j + t_total] for j in range(n_sub + 1)],
+    # traffic); one fused XLA slice+cast+stack. The per-frame preemphasis
+    # predecessor sample (the last lane of the PREVIOUS row; zero for
+    # frame 0) rides along as a (B, t_total, 1) column extracted by the
+    # same fusion.
+    xs = jnp.stack([zr[:, j : j + t_total] for j in range(n_sub)],
                    axis=0).astype(basis.dtype)
+    prev = jnp.pad(zr[:, : t_total - 1, hop - 1], ((0, 0), (1, 0)))
+    prev = prev[..., None].astype(basis.dtype)
 
     melp = jnp.pad(mel_b, ((0, f_pad - F), (0, 0)))
     flens = frame_lens.astype(jnp.int32).reshape(B, 1)
@@ -158,9 +176,12 @@ def logmel_pallas(
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flens: whole (B,1)
-            pl.BlockSpec((n_sub + 1, 1, t_tile, hop),
+            pl.BlockSpec((n_sub, 1, t_tile, hop),
                          lambda b, t: (0, b, t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -172,5 +193,5 @@ def logmel_pallas(
             bytes_accessed=B * need * 4 + B * t_total * M * 4,
             transcendentals=B * t_total * M,
         ),
-    )(flens, xs, basis, melp)
+    )(flens, xs, prev, basis, basis_prev, melp)
     return out[:, :n_frames]

@@ -29,7 +29,7 @@ def test_logmel_pallas_matches_oracle(rng):
     T = fe.n_frames(16000)
     flens = jnp.asarray([T, T], jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.basis_prev, fe.mel_b,
                             fe.hop, T, flens)
     assert out.shape == (2, T, cfg.n_mels)
     for b in range(2):
@@ -47,7 +47,7 @@ def test_logmel_pallas_masks_pad_frames(rng):
     T = fe.n_frames(16000)
     flens = jnp.asarray([T, T // 3], jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.basis_prev, fe.mel_b,
                             fe.hop, T, flens)
     out = np.asarray(out)
     assert np.all(out[1, T // 3 :] == 0.0)
@@ -65,7 +65,7 @@ def test_logmel_pallas_odd_sizes(rng):
     assert T == 8
     flens = jnp.asarray([T], jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.mel_b,
+        out = logmel_pallas(jnp.asarray(x), fe.basis_pre, fe.basis_prev, fe.mel_b,
                             fe.hop, T, flens)
     assert out.shape == (1, 8, cfg.n_mels)
     ref = logmel_np(x[0], cfg)
