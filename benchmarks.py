@@ -175,7 +175,30 @@ def main():
     rtf = dt / (B * sec)
     emit("beam_decode_rtf", rtf, "s-compute/s-audio",
          beam=10, inv_rtf=round(1.0 / rtf, 1),
-         rel_sd=round(timeit.last_rel_sd, 4))
+         rel_sd=round(timeit.last_rel_sd, 4),
+         note="batch-32 amortized, max_len capped at min(0.2*T,150)")
+
+    # ---- honest RTF companions (r4 VERDICT weak item 3): the capped
+    # batch-amortized number above flatters the product default
+    # (max_decode_ratio=1.0). Report batch-1 latency and the ratio-1.0
+    # worst case (random audio + untrained model never emits EOS, so the
+    # beam runs ALL max_len steps — an upper bound; a trained model
+    # EOS-exits far earlier, see tools/quality_* decode timings).
+    enc1, el1, lp1 = enc[:1], enc_lens[:1], ctc_logp[:1]
+    dt = timeit(lambda: bsd.search_arrays(enc1, el1, lp1, max_len),
+                n=3, windows=3)
+    emit("beam_decode_batch1_latency_ms", dt * 1000, "ms",
+         beam=10, rtf=round(dt / sec, 4),
+         rel_sd=round(timeit.last_rel_sd, 4),
+         note="single 30 s utterance, capped max_len")
+    max_len_full = enc.shape[1]  # product default max_decode_ratio=1.0
+    dt = timeit(lambda: bsd.search_arrays(enc, enc_lens, ctc_logp,
+                                          max_len_full), n=1, windows=3)
+    rtf = dt / (B * sec)
+    emit("beam_decode_rtf_worstcase", rtf, "s-compute/s-audio",
+         beam=10, inv_rtf=round(1.0 / rtf, 1), max_len=max_len_full,
+         rel_sd=round(timeit.last_rel_sd, 4),
+         note="batch-32, max_decode_ratio=1.0, no EOS exit (upper bound)")
 
     # ---- kernel microbenches (TPU only: pallas vs xla)
     if on_tpu:
@@ -231,7 +254,8 @@ def main():
         dt = timeit(fwd_r, p, n=5)
         fl = float(fwd_r.lower(p).compile().cost_analysis().get("flops", 0))
         emit(f"{tag}_encode_audio_s_per_s", Br * sec / dt, "audio-s/s/chip",
-             mfu=round(fl / dt / (peak_tflops * 1e12), 4))
+             mfu=round(fl / dt / (peak_tflops * 1e12), 4),
+             rel_sd=round(timeit.last_rel_sd, 4))
 
         txr = make_optimizer(c.train)
         os_r = txr.init(p)
@@ -258,15 +282,26 @@ def main():
         p, os_r = step_r(p, os_r, key)          # warmup (donates originals)
         p, os_r = step_r(p, os_r, key)
         jax.block_until_ready(p)
-        t0 = time.perf_counter()
+        # windowed like timeit() — single windows cannot resolve this
+        # chip's +/-2-3% drift and the rung-4 train MFU has swung
+        # 0.375/0.318/0.243 across single captures (r4 VERDICT weak
+        # item 2). Donated buffers force threading state through the
+        # loop, so the windowing is inlined here.
+        import statistics
+        ts = []
         n_it = 5
-        for _ in range(n_it):
-            p, os_r = step_r(p, os_r, key)
-        jax.block_until_ready(p)
-        dt = (time.perf_counter() - t0) / n_it
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                p, os_r = step_r(p, os_r, key)
+            jax.block_until_ready(p)
+            ts.append((time.perf_counter() - t0) / n_it)
+        dt = statistics.median(ts)
+        rel_sd = statistics.stdev(ts) / dt if len(ts) > 1 else 0.0
         emit(f"{tag}_train_step_audio_s_per_s", Br * sec / dt,
              "audio-s/s/chip",
-             mfu=round(fl / dt / (peak_tflops * 1e12), 4))
+             mfu=round(fl / dt / (peak_tflops * 1e12), 4),
+             rel_sd=round(rel_sd, 4))
 
     if on_tpu:
         bench_rung("rung4", 16, 512, 2048, 8, 16, remat=False)

@@ -500,8 +500,8 @@ class FfnBlock(nnx.Module):
             fits_vmem,
         )
 
-        sharded = mesh is not None and int(
-            dict(mesh.shape).get("model", 1)) > 1
+        sharded = mesh is not None and any(
+            int(dict(mesh.shape).get(ax, 1)) > 1 for ax in ("model", "data"))
         self.use_pallas = (
             cfg.ffn_impl == "pallas" and not sharded and not cfg.sp
             and cfg.pp_stages == 1

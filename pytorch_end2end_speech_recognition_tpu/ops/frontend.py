@@ -102,6 +102,19 @@ class Frontend:
     """On-device log-mel front-end with static bases baked as constants."""
 
     def __init__(self, cfg: FrontendConfig):
+        # resolve 'auto' impl/dtype here too: a FrontendConfig constructed
+        # directly (not via AsrModel/Solver, which run resolve_platform
+        # first) would otherwise silently take the jnp path and later
+        # AttributeError on basis_pre if impl is resolved to 'pallas'
+        # (r4 ADVICE)
+        if cfg.impl == "auto" or cfg.dft_dtype == "auto":
+            import jax
+
+            tpu = jax.default_backend() == "tpu"
+            if cfg.impl == "auto":
+                cfg.impl = "pallas" if tpu else "jnp"
+            if cfg.dft_dtype == "auto":
+                cfg.dft_dtype = "bfloat16" if tpu else "float32"
         self.cfg = cfg
         self.win = cfg.win_length
         self.hop = cfg.hop_length

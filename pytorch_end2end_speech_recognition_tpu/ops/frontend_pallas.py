@@ -21,17 +21,22 @@ TPU mapping:
   with one extra raw sample *before* the window (n = -1 carries
   -a*w[0]e[0,k]). No separate preemphasis pass, no (B, Ts) rewrite, and
   bit-equivalent to preemphasizing then framing (`preemph_dft_bases`).
-- A frame of (n_sub+1)*hop raw samples starting every `hop` samples is
-  decomposed into consecutive hop-wide sub-blocks of the front-padded
-  audio viewed as (n_rows, hop); XLA pre-shifts the n_sub+1 views (ONE
+- A frame of n_sub*hop raw samples starting every `hop` samples is
+  decomposed into consecutive hop-wide sub-blocks of the back-padded
+  audio viewed as (n_rows, hop); XLA pre-shifts the n_sub views (ONE
   fused slice+cast+stack, bf16) and the kernel re-assembles each tile's
-  (t_tile, (n_sub+1)*hop) frame matrix with a VMEM lane-concat. Fully
-  in-kernel assembly was probed on hardware and does not lower:
-  tpu.concatenate rejects vregs at differing sublane offsets and
-  tpu.dynamic_rotate miscompiles the shift>8 rolls that would re-home
-  them, so the pre-shift stays in XLA.
+  (t_tile, n_sub*hop) frame matrix with a VMEM lane-concat. The
+  preemphasis term that references the sample *before* each frame is NOT
+  an extra view: it rides along as a (t_tile, 1) predecessor column and
+  is applied in-kernel as a rank-1 update against `basis_prev` (v5 —
+  the v4 extra hop-block view whose basis rows were zero except one lane
+  cost ~25% more K and stack traffic). Fully in-kernel frame assembly
+  was probed on hardware and does not lower: tpu.concatenate rejects
+  vregs at differing sublane offsets and tpu.dynamic_rotate miscompiles
+  the shift>8 rolls that would re-home them, so the pre-shift stays in
+  XLA.
 - The windowed DFT is ONE matmul per tile: (t_tile, L) @ (L, 2*f_pad)
-  against the lane-concatenated [cos | sin] preemph basis (L=(n_sub+1)*hop
+  against the lane-concatenated [cos | sin] preemph basis (L=n_sub*hop
   rows, zero rows where no raw sample contributes; bins 257 -> 384
   lane-aligned with zero mel weight) — results identical to the unpadded
   math. bf16 operands halve the MXU cost; accumulation stays f32.
