@@ -167,27 +167,44 @@ class TransformerDecoder(nnx.Module):
             "pos": jnp.zeros((B,), jnp.int32),
         }
 
-    def step(self, token, state, keys, values, mask):
+    def step(self, token, state, keys, values, mask, per_row_pos=False):
         """One decode step -> (log_probs (B,V), new_state, attn (B,T)).
 
         `keys` is the packed cross K/V from `precompute`; `values` (raw
         encoder output) is unused — kept for LSTM-decoder signature parity.
+
+        `per_row_pos=False` (the full-pass beam): every row is at the same
+        position, so the K/V cache write is one dynamic-update-slice.
+        `per_row_pos=True` (the chunk-synchronized streaming beam, where
+        hypotheses may WAIT a chunk and fall out of lockstep): positions,
+        PE rows, cache writes and the causal mask are all per-row.
         """
         del values
         B = token.shape[0]
         U = state["k_cache"].shape[1]
         D = self.cfg.decoder_dim
-        pos = state["pos"][0]  # beams step in lockstep
         pe = jnp.asarray(sinusoidal_pe(U, D))
-        x = (self._embed_scaled(token) + pe[pos])[:, None, :]  # (B,1,D)
         kc, vc = state["k_cache"], state["v_cache"]
-        self_mask = (jnp.arange(U) <= pos)[None, None, None, :]
+        if per_row_pos:
+            pos_v = state["pos"]                               # (B,)
+            x = (self._embed_scaled(token) + pe[pos_v])[:, None, :]
+            self_mask = (jnp.arange(U)[None, :]
+                         <= pos_v[:, None])[:, None, None, :]
+            rows = jnp.arange(B)
+        else:
+            pos = state["pos"][0]  # beams step in lockstep
+            x = (self._embed_scaled(token) + pe[pos])[:, None, :]  # (B,1,D)
+            self_mask = (jnp.arange(U) <= pos)[None, None, None, :]
         cross_mask = mask[:, None, None, :]
         attn = None
         for li, blk in enumerate(self.blocks):
             q, k_new, v_new = blk.self_qkv(x)
-            kc = kc.at[:, pos, li].set(k_new[:, 0])
-            vc = vc.at[:, pos, li].set(v_new[:, 0])
+            if per_row_pos:
+                kc = kc.at[rows, pos_v, li].set(k_new[:, 0])
+                vc = vc.at[rows, pos_v, li].set(v_new[:, 0])
+            else:
+                kc = kc.at[:, pos, li].set(k_new[:, 0])
+                vc = vc.at[:, pos, li].set(v_new[:, 0])
             x, w = blk.run(
                 x, q, kc[:, :, li], vc[:, :, li], self_mask,
                 keys[:, :, li, 0], keys[:, :, li, 1], cross_mask,

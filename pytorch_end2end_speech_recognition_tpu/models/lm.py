@@ -139,18 +139,31 @@ class TransformerLm(nnx.Module):
             "pos": jnp.zeros((B,), jnp.int32),
         }
 
-    def step(self, token, state):
+    def step(self, token, state, per_row_pos=False):
         B = token.shape[0]
         U = state["k_cache"].shape[1]
         D = self.cfg.lm_dim
-        pos = state["pos"][0]
-        x = (self.embed(token) * np.sqrt(D) + self._pe(U)[pos])[:, None, :]
         kc, vc = state["k_cache"], state["v_cache"]
-        self_mask = (jnp.arange(U) <= pos)[None, None, None, :]
+        if per_row_pos:  # streaming chunk beam: rows fall out of lockstep
+            pos_v = state["pos"]
+            x = (self.embed(token) * np.sqrt(D)
+                 + self._pe(U)[pos_v])[:, None, :]
+            self_mask = (jnp.arange(U)[None, :]
+                         <= pos_v[:, None])[:, None, None, :]
+            rows = jnp.arange(B)
+        else:
+            pos = state["pos"][0]
+            x = (self.embed(token) * np.sqrt(D)
+                 + self._pe(U)[pos])[:, None, :]
+            self_mask = (jnp.arange(U) <= pos)[None, None, None, :]
         for li, blk in enumerate(self.blocks):
             q, k_new, v_new = blk.qkv(x)
-            kc = kc.at[:, pos, li].set(k_new[:, 0])
-            vc = vc.at[:, pos, li].set(v_new[:, 0])
+            if per_row_pos:
+                kc = kc.at[rows, pos_v, li].set(k_new[:, 0])
+                vc = vc.at[rows, pos_v, li].set(v_new[:, 0])
+            else:
+                kc = kc.at[:, pos, li].set(k_new[:, 0])
+                vc = vc.at[:, pos, li].set(v_new[:, 0])
             x = blk.run(x, q, kc[:, :, li], vc[:, :, li], self_mask)
         logits = self.proj(self.ln_out(x))[:, 0]
         return (

@@ -93,3 +93,51 @@ def trained_blstm(tmp_path_factory, digits_corpus):
     solver = Solver(cfg, tok)
     solver.fit(loader, steps=400)  # enough to overfit digits on CPU
     return cfg, tok, utts, loader, solver
+
+
+@pytest.fixture(scope="session")
+def trained_hybrid(tmp_path_factory, digits_corpus):
+    """ONE session-scoped overfit HYBRID (ctc_weight=0.3, attention
+    decoder) model shared by the rung-5 streaming-beam equivalence and the
+    serving beam-bundle tests, so both run in the DEFAULT suite instead of
+    each slow-training its own copy (r4 VERDICT weak item 6 / task 8).
+    Returns (cfg, tok, utts, solver); tests may save checkpoints into
+    cfg.train.checkpoint_dir but must not retrain."""
+    from pytorch_end2end_speech_recognition_tpu.data.dataset import (
+        BucketedLoader,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+    from pytorch_end2end_speech_recognition_tpu.data.tokenizer import (
+        CharTokenizer,
+    )
+    from pytorch_end2end_speech_recognition_tpu.training.solver import Solver
+    from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+    tmp = tmp_path_factory.mktemp("trained_hybrid")
+    cfg = AsrConfig()
+    cfg.model.encoder = "blstm"
+    cfg.model.encoder_layers = 1
+    cfg.model.encoder_dim = 96
+    cfg.model.ctc_weight = 0.3
+    cfg.model.decoder_layers = 1
+    cfg.model.dtype = "float32"
+    cfg.frontend.spec_augment = False
+    cfg.data.batch_size = 8
+    cfg.data.n_length_buckets = 2
+    cfg.train.lr = 1e-3
+    cfg.train.schedule = "constant"
+    cfg.train.log_every = 1000
+    cfg.train.metrics_path = str(tmp / "metrics.jsonl")
+    cfg.train.checkpoint_dir = str(tmp / "ckpt")
+    cfg.decode.mode = "beam"
+    cfg.decode.beam_size = 4
+    cfg.decode.pre_beam_k = 6
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    solver = Solver(cfg, tok)
+    # 600 steps overfits decisively (400 leaves single-char flakes on the
+    # attention decoder's exact-transcript pins)
+    solver.fit(BucketedLoader(utts, tok, cfg.data), steps=600)
+    return cfg, tok, utts, solver

@@ -66,26 +66,15 @@ def test_greedy_bundle_matches_live_decode(trained_for_export, greedy_bundle):
     assert got == want
 
 
-@pytest.mark.slow  # hybrid fit + beam while-loop export compile ~90s
-def test_beam_bundle_matches_live_decode(trained_for_export, tmp_path):
+def test_beam_bundle_matches_live_decode(trained_hybrid, tmp_path):
     """Token-exact bundle == live BeamSearchDecoder equivalence (r3 VERDICT
     weak item 1: the exporter once hardcoded max_len_ratio=0.2 and silently
     reintroduced the mid-word truncation bug the live path had fixed via
     DecodeConfig.max_decode_ratio; this pins exporter length limits — and
-    everything else — to the live decode)."""
-    # the shared fixture is pure-CTC (no decoder); beam export needs the
-    # hybrid model, so train a throwaway one briefly
-    cfg, tok, utts, _ = trained_for_export
-    import copy
-
-    cfg = copy.deepcopy(cfg)
-    cfg.model.ctc_weight = 0.3
-    cfg.model.decoder_layers = 1
-    cfg.train.checkpoint_dir = str(tmp_path / "ckpt_beam")
-    cfg.train.metrics_path = str(tmp_path / "mb.jsonl")
-    solver = Solver(cfg, tok)
-    solver.fit(BucketedLoader(utts, tok, cfg.data), steps=5)
-    solver.save_checkpoint("best")
+    everything else — to the live decode). Default-suite since r5 via the
+    shared trained_hybrid fixture (r4 VERDICT task 8)."""
+    cfg, tok, utts, solver = trained_hybrid
+    solver.save_checkpoint("best")  # into the fixture's checkpoint_dir
     out = export_bundle(cfg, tok, tmp_path / "bundle_beam",
                         checkpoint_tag="best", mode="beam",
                         batch_sizes=(2,), seconds=(3,))
