@@ -102,7 +102,8 @@ def main(argv=None):
         # possibly-changed manifest
         tok = Tokenizer.load(ckpt_tok)
     else:
-        tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts])
+        tok = build_tokenizer(cfg.data.tokenizer, [u.text for u in train_utts],
+                              vocab_size=cfg.data.bpe_vocab_size)
         if cfg.data.tokenizer_path:
             tok.save(cfg.data.tokenizer_path)
     # drop a copy next to the checkpoints so decode/transcribe can resolve

@@ -228,7 +228,9 @@ def load_for_config(cfg) -> Tokenizer:
         )
         utts = read_manifest(cfg.data.train_manifest)
         return build_tokenizer(cfg.data.tokenizer,
-                               [u.text for u in utts])
+                               [u.text for u in utts],
+                               vocab_size=getattr(cfg.data,
+                                                  "bpe_vocab_size", 256))
     raise FileNotFoundError(
         "no tokenizer: set data.tokenizer_path, or keep the tokenizer.json "
         f"saved by training under {cfg.train.checkpoint_dir}, or make the "

@@ -121,55 +121,65 @@ def _attention_fwd_pallas(q, k, v, bias, lens, heads: int):
 
 def _bwd_kernel(lens_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *,
-                sm_scale, has_bias):
-    """Backward for one (head, batch-row): recompute p, then
+                sm_scale, has_bias, heads):
+    """Backward for one batch row, all heads: recompute p, then
     dv = p^T g, dp = g v^T, ds = p*(dp - rowsum(dp*p)),
     dq = ds k * scale, dk = ds^T (q*scale), dbias_h = sum_b ds.
 
-    Inputs arrive pre-split per head as (H, B, Tp, Dh) — Mosaic cannot
-    prove a dynamic Dh-lane offset is 128-aligned, so the head split
-    happens in XLA (cheap transposes) instead of dynamic ref slicing.
-    grid = (H, B) with b innermost; dbias accumulates directly in its
-    f32 output block, which stays resident for the whole batch sweep
-    (its index depends only on h).
+    r5 layout fix (r4 VERDICT next-round task 1b): the r4 version split
+    heads in XLA to (H, B, Tp, Dh) operands/outputs, and the surrounding
+    transposes cost ~3.6 ms/step of "data formatting" at the flagship
+    shape. Like the forward `_kernel`, heads are now STATIC lane slices of
+    the natural full-D (B, Tp, D) blocks — Mosaic only rejects *dynamic*
+    non-128-aligned lane offsets — so q/k/v/g stream in and dq/dk/dv
+    stream out in the model's layout with zero XLA transposes.
+    grid = (B,); dbias accumulates in its whole-resident f32 block
+    (constant index map), initialized at b == 0.
     """
-    b = pl.program_id(1)
-    Tp = q_ref.shape[2]
+    b = pl.program_id(0)
+    Tp = q_ref.shape[1]
+    Dh = q_ref.shape[2] // heads
     L = lens_ref[b, 0]
-    qs = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-    kh = k_ref[0, 0]
-    vh = v_ref[0, 0]
-    gh = g_ref[0, 0]
-    s = jax.lax.dot_general(
-        qs, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
-    s = jnp.where(col < L, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-    p = e / den                                       # (Tp, Tp) f32
-    pc = p.astype(vh.dtype)
-    dv_ref[0, 0] = jax.lax.dot_general(
-        pc, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dsc = ds.astype(q_ref.dtype)
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        dsc, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jax.lax.dot_general(
-        dsc, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+    qs = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     if has_bias:
         @pl.when(b == 0)
         def _():
-            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-        dbias_ref[0] += ds
+    for h in range(heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        gh = g_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qs[:, sl], kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + bias_ref[h].astype(jnp.float32)
+        s = jnp.where(col < L, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p = e / den                                   # (Tp, Tp) f32
+        pc = p.astype(vh.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pc, gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(q_ref.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            dsc, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ) * sm_scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsc, qs[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        if has_bias:
+            dbias_ref[h] += ds
 
 
 def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
@@ -185,39 +195,28 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
     has_bias = bias is not None
     bias_in = bias if has_bias else jnp.zeros((1, 8, LANE), q.dtype)
 
-    def split(x):  # (B, Tp, D) -> (H, B, Tp, Dh)
-        return x.reshape(B, Tp, heads, Dh).transpose(2, 0, 1, 3)
-
-    head_in = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
-                           memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec(
-        (1,) + bias_in.shape[1:],
-        (lambda h, b: (h, 0, 0)) if has_bias else (lambda h, b: (0, 0, 0)),
-        memory_space=pltpu.VMEM,
-    )
-    head_out = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
+    qkv_spec = pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(bias_in.shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     dbias_shape = (heads, Tp, Tp) if has_bias else (1, 8, LANE)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=1.0 / (Dh ** 0.5),
-                          has_bias=has_bias),
-        grid=(heads, B),
+                          has_bias=has_bias, heads=heads),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            head_in, head_in, head_in, head_in, bias_spec,
+            qkv_spec, qkv_spec, qkv_spec, qkv_spec, bias_spec,
         ],
         out_specs=(
-            head_out, head_out, head_out,
-            pl.BlockSpec((1, Tp, Tp), lambda h, b: (h, 0, 0),
-                         memory_space=pltpu.VMEM)
-            if has_bias else
-            pl.BlockSpec(dbias_shape, lambda h, b: (0, 0, 0),
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec(dbias_shape, lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((heads, B, Tp, Dh), q.dtype),
-            jax.ShapeDtypeStruct((heads, B, Tp, Dh), k.dtype),
-            jax.ShapeDtypeStruct((heads, B, Tp, Dh), v.dtype),
+            jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Tp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Tp, D), v.dtype),
             jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
@@ -225,12 +224,10 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
             bytes_accessed=8 * B * Tp * D * q.dtype.itemsize,
             transcendentals=B * heads * Tp * Tp,
         ),
-    )(lens.astype(jnp.int32).reshape(B, 1), split(q), split(k), split(v),
-      split(g), bias_in)
+    )(lens.astype(jnp.int32).reshape(B, 1), q, k, v, g, bias_in)
 
-    def merge(x, ref):
-        out = x.transpose(1, 2, 0, 3).reshape(B, Tp, D)[:, :T]
-        return out.astype(ref.dtype)
+    def crop(x, ref):
+        return x[:, :T].astype(ref.dtype)
 
     if not has_bias:
         dbias_out = None
@@ -238,7 +235,7 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
         dbias_out = dbias.astype(bias.dtype)
     else:
         dbias_out = dbias[:, :T, :T].astype(bias.dtype)
-    return merge(dq, q), merge(dk, k), merge(dv, v), dbias_out
+    return crop(dq, q), crop(dk, k), crop(dv, v), dbias_out
 
 
 def toeplitz_expand(diag: jnp.ndarray, Tq: int, Tk: int, qoff=0, koff=0,

@@ -140,6 +140,7 @@ class DataConfig:
     test_manifest: str = ""
     tokenizer: str = "char"          # 'char' | 'bpe'
     tokenizer_path: str = ""
+    bpe_vocab_size: int = 256        # BPE target vocab (specials+chars+merges)
     batch_frames: int = 160000       # max total samples per batch (bucketing budget)
     batch_size: int = 16             # max utterances per batch
     max_audio_s: float = 30.0
