@@ -1,11 +1,13 @@
-"""Streaming transcription RTF on the real TPU (r3 VERDICT item 9).
+"""Streaming transcription RTF on the real TPU (r4 VERDICT task 3).
 
-Feeds a long utterance through StreamingBeamTranscriber in real-time-sized
-chunks and reports: per-feed compute latency, total compute RTF for the
-greedy-partial stream, and the chunk-final joint-beam rescoring cost.
-Writes bench_results/r4_streaming.json.
+Feeds long utterances through the chunk-synchronized StreamingBeamTranscriber
+in real-time-sized chunks and reports, PER STREAM LENGTH (to demonstrate
+O(1) behavior — the r4 design's final beam grew linearly with the stream):
+per-feed compute latency (median/p95/max), total compute RTF, and the final
+-chunk cost (which now includes EOS resolution, not a full-utterance beam).
+Writes bench_results/r5_streaming.json.
 
-Usage: python tools/bench_streaming.py [audio_seconds] [feed_seconds]
+Usage: python tools/bench_streaming.py [audio_seconds_csv] [feed_seconds]
 """
 import sys
 from pathlib import Path
@@ -32,8 +34,24 @@ from pytorch_end2end_speech_recognition_tpu.models.streaming import (
 )
 
 
+def run_stream(st, audio, feed, timed):
+    chunks = [audio[i : i + feed] for i in range(0, len(audio), feed)]
+    stream = st.init_stream()
+    lat = []
+    t_all = time.perf_counter()
+    for i, c in enumerate(chunks):
+        t0 = time.perf_counter()
+        stream = st.feed(stream, c, final=(i == len(chunks) - 1))
+        lat.append(time.perf_counter() - t0)
+    t_stream = time.perf_counter() - t_all
+    nbest = st.final_nbest(stream)
+    assert nbest is not None
+    return lat, t_stream
+
+
 def main():
-    audio_s = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    lengths = ([float(s) for s in sys.argv[1].split(",")]
+               if len(sys.argv) > 1 else [30.0, 60.0, 120.0])
     feed_s = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     cfg = _flagship_cfg()
     cfg.model.decoder = "transformer"
@@ -45,55 +63,54 @@ def main():
     cfg.model.vocab_size = tok.vocab_size
     model = AsrModel(cfg, nnx.Rngs(0))
     st = StreamingBeamTranscriber(model, tok, cfg.decode,
-                                  chunk_s=8.0, overlap_s=2.0)
+                                  chunk_s=8.0, overlap_s=2.0,
+                                  chunk_frames=64, window_frames=256,
+                                  max_tokens=512, steps_per_chunk=16)
 
     sr = cfg.frontend.sample_rate
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(int(audio_s * sr)) * 0.1).astype(np.float32)
     feed = int(feed_s * sr)
-    chunks = [audio[i : i + feed] for i in range(0, len(audio), feed)]
 
-    # warm-up pass compiles all window buckets + the final beam shape
-    stream = st.init_stream()
-    for i, c in enumerate(chunks):
-        stream = st.feed(stream, c, final=(i == len(chunks) - 1))
-    st.final_nbest(stream)
+    # warm-up compiles: encoder window buckets + the single chunk-beam
+    # program (incl. its final-chunk branch)
+    warm = (rng.standard_normal(int(12.0 * sr)) * 0.1).astype(np.float32)
+    run_stream(st, warm, feed, timed=False)
 
-    # timed pass
-    lat = []
-    stream = st.init_stream()
-    t_all = time.perf_counter()
-    for i, c in enumerate(chunks):
-        t0 = time.perf_counter()
-        stream = st.feed(stream, c, final=(i == len(chunks) - 1))
-        lat.append(time.perf_counter() - t0)
-    t_stream = time.perf_counter() - t_all
-    t0 = time.perf_counter()
-    nbest = st.final_nbest(stream)
-    t_beam = time.perf_counter() - t0
+    per_len = {}
+    for audio_s in lengths:
+        audio = (rng.standard_normal(int(audio_s * sr)) * 0.1
+                 ).astype(np.float32)
+        lat, t_stream = run_stream(st, audio, feed, timed=True)
+        per_len[str(audio_s)] = {
+            "stream_rtf": round(t_stream / audio_s, 5),
+            "feed_latency_ms": {
+                "median": round(1e3 * statistics.median(lat), 2),
+                "p95": round(1e3 * sorted(lat)[int(0.95 * len(lat))], 2),
+                "max": round(1e3 * max(lat), 2),
+            },
+            "final_feed_ms": round(1e3 * lat[-1], 2),
+        }
+        print(audio_s, per_len[str(audio_s)], flush=True)
 
     rec = {
         "model": "flagship 12L/d256 conformer + 2L transformer decoder, "
                  "bf16 + Pallas kernels",
-        "audio_s": audio_s,
+        "decoder_design": "chunk-synchronized beam (decode/chunk_beam.py): "
+                          "O(1) carried state, one compiled program",
         "feed_s": feed_s,
         "chunk_s": 8.0,
         "overlap_s": 2.0,
-        "stream_rtf": round(t_stream / audio_s, 5),
-        "feed_latency_ms": {
-            "median": round(1e3 * statistics.median(lat), 2),
-            "p95": round(1e3 * sorted(lat)[int(0.95 * len(lat))], 2),
-            "max": round(1e3 * max(lat), 2),
-        },
-        "final_beam_s": round(t_beam, 3),
-        "total_rtf": round((t_stream + t_beam) / audio_s, 5),
+        "chunk_frames": 64,
+        "window_frames": 256,
         "beam_size": cfg.decode.beam_size,
+        "by_stream_length_s": per_len,
+        "compiled_chunk_programs": st.cb._compiled.cache_info().currsize,
         "device": str(jax.devices()[0]),
     }
-    out = Path(__file__).resolve().parent.parent / "bench_results" / "r4_streaming.json"
+    out = (Path(__file__).resolve().parent.parent / "bench_results"
+           / "r5_streaming.json")
     out.write_text(json.dumps(rec, indent=2))
     print(json.dumps(rec, indent=2), flush=True)
-    assert nbest is not None
 
 
 if __name__ == "__main__":

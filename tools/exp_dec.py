@@ -36,6 +36,30 @@ from pytorch_end2end_speech_recognition_tpu.training.losses import hybrid_loss
 
 
 def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+    if variant == "bf16":
+        # candidate: run the decoder's attention matmuls in bf16 (softmax
+        # stays f32) — the module keeps an all-f32 stream for numerics
+        import pytorch_end2end_speech_recognition_tpu.models.decoder_transformer as dtm  # noqa: E501
+
+        def mha_bf16(q, k, v, mask, heads):
+            B, Tq, D = q.shape
+            Tk = k.shape[1]
+            dh = D // heads
+            bt = jnp.bfloat16
+            qh = q.reshape(B, Tq, heads, dh).transpose(0, 2, 1, 3).astype(bt)
+            kh = k.reshape(B, Tk, heads, dh).transpose(0, 2, 1, 3).astype(bt)
+            vh = v.reshape(B, Tk, heads, dh).transpose(0, 2, 1, 3).astype(bt)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32) / np.sqrt(dh)
+            s = jnp.where(mask, s, dtm.NEG_INF)
+            w = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(bt), vh,
+                             preferred_element_type=jnp.float32)
+            return out.transpose(0, 2, 1, 3).reshape(B, Tq, D), w
+
+        dtm.mha = mha_bf16
+        print("[variant] decoder mha matmuls in bf16", flush=True)
     cfg = _flagship_cfg()
     rng = np.random.default_rng(0)
     B, sec, U = 32, 30.0, 64
