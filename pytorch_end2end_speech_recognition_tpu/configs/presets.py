@@ -103,6 +103,12 @@ def libri960_conformer() -> AsrConfig:
     # subsample conv alone would cost ~2 conformer layers of FLOPs
     cfg.model.subsample_channels = 128
     cfg.model.ctc_weight = 0.3
+    # ESPnet-style conformer-large pairing: 6-layer transformer decoder
+    # (the lstm speller default is rung 2's genre-defining component, not
+    # this rung's; see flagship_conformer for the TPU A/B)
+    cfg.model.decoder = "transformer"
+    cfg.model.decoder_layers = 6
+    cfg.model.decoder_heads = 8
     cfg.model.decoder_dim = 512
     cfg.model.embed_dim = 512
     cfg.model.attention_dim = 512
@@ -155,6 +161,13 @@ def flagship_conformer() -> AsrConfig:
     cfg.model.subsample_channels = 64  # see ModelConfig.subsample_channels
     cfg.model.encoder_heads = 4
     cfg.model.vocab_size = 64
+    # transformer decoder, NOT ModelConfig's lstm default: the genre pairs
+    # conformer recipes with transformer decoders, and on TPU the parallel
+    # teacher-forced pass replaces the lstm speller's 65-step scan — r5
+    # A/B: train step 71.4 -> 64.8 ms, MFU 0.264 -> 0.296 (PERF_r5.md §3);
+    # trained quality evidence at this pairing: bench_results/r5_quality.json
+    cfg.model.decoder = "transformer"
+    cfg.model.decoder_layers = 2
     cfg.model.decoder_dim = 256
     cfg.model.embed_dim = 128
     cfg.model.attention_dim = 128

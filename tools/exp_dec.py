@@ -37,7 +37,7 @@ from pytorch_end2end_speech_recognition_tpu.training.losses import hybrid_loss
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "base"
-    if variant == "bf16":
+    if "bf16" in variant:
         # candidate: run the decoder's attention matmuls in bf16 (softmax
         # stays f32) — the module keeps an all-f32 stream for numerics
         import pytorch_end2end_speech_recognition_tpu.models.decoder_transformer as dtm  # noqa: E501
@@ -61,6 +61,14 @@ def main():
         dtm.mha = mha_bf16
         print("[variant] decoder mha matmuls in bf16", flush=True)
     cfg = _flagship_cfg()
+    if variant.startswith("tdec"):
+        # transformer decoder (parallel teacher forcing) vs the lstm
+        # speller's 65-step scan — the flagship/rung-4 presets inherited
+        # decoder='lstm' from ModelConfig
+        cfg.model.decoder = "transformer"
+        cfg.model.decoder_layers = int(variant[4:].split("bf16")[0] or 6)
+        print(f"[variant] transformer decoder L={cfg.model.decoder_layers}",
+              flush=True)
     rng = np.random.default_rng(0)
     B, sec, U = 32, 30.0, 64
     Ts = int(sec * cfg.frontend.sample_rate)
@@ -108,6 +116,8 @@ def main():
     print(f"decoder fwd+bwd: {med:.2f} ms  flops={fl:.3e}  "
           f"MFU={fl / (med / 1000) / 197e12:.4f}", flush=True)
 
+    if variant != "base":
+        return
     logdir = "/tmp/jax-trace-dec"
     shutil.rmtree(logdir, ignore_errors=True)
     with jax.profiler.trace(logdir):

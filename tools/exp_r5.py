@@ -276,6 +276,17 @@ def main():
         cfg.model.ctc_weight = 1.0  # drops the decoder branch entirely
         report("dec=none (ctc-only)", cfg, B, sec)
 
+    if "dectype" in abs_:
+        # the flagship/rung-4 presets inherited ModelConfig's
+        # decoder='lstm' (65-step scan, ~7 ms marginal at <1% MFU);
+        # the genre's conformer recipes pair a transformer decoder
+        # (parallel teacher forcing)
+        for L in (2, 6):
+            cfg = _flagship_cfg()
+            cfg.model.decoder = "transformer"
+            cfg.model.decoder_layers = L
+            report(f"dec=transformer L={L}", cfg, B, sec)
+
 
 if __name__ == "__main__":
     main()
