@@ -236,7 +236,12 @@ def main():
         c.model.encoder_dim = d
         c.model.encoder_ffn_dim = ffn
         c.model.encoder_heads = heads
-        c.model.decoder_dim = d
+        # match the rung-4/5 preset pairing (libri960_*): 6-layer
+        # transformer decoder at d512 regardless of encoder width
+        c.model.decoder = "transformer"
+        c.model.decoder_layers = 6
+        c.model.decoder_heads = 8
+        c.model.decoder_dim = 512
         c.model.subsample_channels = 128  # match the rung-4/5 presets
         c.model.remat = remat
         m = AsrModel(c, nnx.Rngs(0))

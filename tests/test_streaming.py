@@ -166,7 +166,9 @@ def test_streaming_beam_matches_full_pass(trained_hybrid):
                                   chunk_s=2.0, overlap_s=1.0,
                                   chunk_frames=64, window_frames=512,
                                   max_tokens=64, steps_per_chunk=8)
-    for u in utts[:2]:
+    # one utterance: each extra one costs a fresh full-pass beam compile
+    # (different length bucket) against the 10-min default-suite budget
+    for u in utts[:1]:
         audio = load_audio(u.audio, 16000)
         batch = SimpleNamespace(
             audio=audio[None].copy(),
