@@ -182,6 +182,102 @@ def _bwd_kernel(lens_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
             dbias_ref[h] += ds
 
 
+def _bwd_kernel_headsplit(lens_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
+                          dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                          sm_scale, has_bias):
+    """r4-style backward for one (head, batch-row) with XLA-side head
+    split. Kept as the fallback for shapes whose whole-resident f32 dbias
+    (heads * Tp^2 * 4 B) exceeds the ~16 MB scoped-VMEM budget of the
+    layout-preserving kernel below (e.g. rung-4's H=8, Tp=768 -> 18.9 MB;
+    the flagship H=4 -> 9.4 MB runs the fast path)."""
+    b = pl.program_id(1)
+    Tp = q_ref.shape[2]
+    L = lens_ref[b, 0]
+    qs = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    kh = k_ref[0, 0]
+    vh = v_ref[0, 0]
+    gh = g_ref[0, 0]
+    s = jax.lax.dot_general(
+        qs, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    s = jnp.where(col < L, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / den
+    pc = p.astype(vh.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pc, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsc = ds.astype(q_ref.dtype)
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        dsc, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dsc, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    if has_bias:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+        dbias_ref[0] += ds
+
+
+def _attention_bwd_headsplit(q, k, v, bias, lens, g, heads, Tp, has_bias,
+                             bias_in):
+    B, _, D = q.shape
+    Dh = D // heads
+
+    def split(x):  # (B, Tp, D) -> (H, B, Tp, Dh)
+        return x.reshape(B, Tp, heads, Dh).transpose(2, 0, 1, 3)
+
+    head_in = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(
+        (1,) + bias_in.shape[1:],
+        (lambda h, b: (h, 0, 0)) if has_bias else (lambda h, b: (0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    head_out = pl.BlockSpec((1, 1, Tp, Dh), lambda h, b: (h, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dbias_shape = (heads, Tp, Tp) if has_bias else (1, 8, LANE)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel_headsplit, sm_scale=1.0 / (Dh ** 0.5),
+                          has_bias=has_bias),
+        grid=(heads, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            head_in, head_in, head_in, head_in, bias_spec,
+        ],
+        out_specs=(
+            head_out, head_out, head_out,
+            pl.BlockSpec((1, Tp, Tp), lambda h, b: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if has_bias else
+            pl.BlockSpec(dbias_shape, lambda h, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), k.dtype),
+            jax.ShapeDtypeStruct((heads, B, Tp, Dh), v.dtype),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
+        ),
+    )(lens.astype(jnp.int32).reshape(B, 1), split(q), split(k), split(v),
+      split(g), bias_in)
+
+    def merge(x):
+        return x.transpose(1, 2, 0, 3).reshape(B, Tp, D)
+
+    return merge(dq), merge(dk), merge(dv), dbias
+
+
 def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
     B, T, D = q.shape
     Dh = D // heads
@@ -194,6 +290,18 @@ def _attention_bwd_pallas(q, k, v, bias, lens, g, heads: int):
             bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Tp - T)))
     has_bias = bias is not None
     bias_in = bias if has_bias else jnp.zeros((1, 8, LANE), q.dtype)
+    if has_bias and heads * Tp * Tp * 4 > 12 * 2 ** 20:
+        dq, dk, dv, dbias = _attention_bwd_headsplit(
+            q, k, v, bias, lens, g, heads, Tp, has_bias, bias_in)
+
+        def crop2(x, ref):
+            return x[:, :T].astype(ref.dtype)
+
+        if pre_padded:
+            dbias_out = dbias.astype(bias.dtype)
+        else:
+            dbias_out = dbias[:, :T, :T].astype(bias.dtype)
+        return crop2(dq, q), crop2(dk, k), crop2(dv, v), dbias_out
 
     qkv_spec = pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -240,6 +240,40 @@ def test_fused_attention_bwd_kernel_matches_autodiff(rng):
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_fused_attention_bwd_headsplit_fallback_matches_autodiff(rng):
+    """Shapes whose whole-resident f32 dbias exceeds the scoped-VMEM
+    budget (heads*Tp^2*4 > 12 MiB, e.g. rung-4's H=8/Tp=768) route to the
+    r4-style head-split backward — same grads as the fast path's oracle.
+    Tp is forced to 768 via T; B is kept tiny for interpret-mode speed."""
+    from pytorch_end2end_speech_recognition_tpu.ops.attention_pallas import (
+        _attention_bwd_pallas,
+        _attention_xla,
+    )
+
+    B, T, H, Dh = 1, 650, 8, 8          # Tp=768 -> dbias 18.9 MiB: fallback
+    D = H * Dh
+    q = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)) * 0.3
+    lens = jnp.asarray([590], jnp.int32)
+    bias = jnp.asarray(
+        rng.standard_normal((H, T, T)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    g = jnp.where(jnp.arange(T)[None, :, None] < lens[:, None, None], g, 0.0)
+    with pltpu.force_tpu_interpret_mode():
+        dq, dk, dv, dbias = _attention_bwd_pallas(q, k, v, bias, lens, g, H)
+
+    def loss(q, k, v, b):
+        return jnp.sum(_attention_xla(q, k, v, b, lens, H) * g)
+
+    rq, rk, rv, rb = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb),
+                               rtol=5e-4, atol=5e-4)
+    for a, b in ((dq, rq), (dk, rk), (dv, rv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 # ---------------------------------------------------------------- fused FFN
 def _ffn_ref(x, gamma, beta, w1, b1, w2, b2, scale):
     mu = x.mean(-1, keepdims=True)
