@@ -32,6 +32,13 @@ def main(argv=None):
                          "greedy partials + chunk-final joint beam")
     ap.add_argument("--chunk-s", type=float, default=8.0)
     ap.add_argument("--overlap-s", type=float, default=2.0)
+    # chunk-synchronized beam knobs (decode/chunk_beam.py; --mode beam)
+    ap.add_argument("--beam-chunk-frames", type=int, default=64,
+                    help="encoder frames per beam advance")
+    ap.add_argument("--beam-window-frames", type=int, default=256,
+                    help="sliding attention/CTC window (fidelity knob)")
+    ap.add_argument("--beam-max-tokens", type=int, default=256,
+                    help="carried-hypothesis token budget (O(1) state)")
     ap.add_argument("--set", action="append", default=[], metavar="K=V")
     ap.add_argument("wavs", nargs="+", help="WAV files to transcribe")
     args = ap.parse_args(argv)
@@ -90,9 +97,12 @@ def main(argv=None):
                 )
 
                 lm = load_lm(args.lm_checkpoint, cfg, tok)
-            st = StreamingBeamTranscriber(model, tok, cfg.decode, lm=lm,
-                                          chunk_s=args.chunk_s,
-                                          overlap_s=args.overlap_s)
+            st = StreamingBeamTranscriber(
+                model, tok, cfg.decode, lm=lm,
+                chunk_s=args.chunk_s, overlap_s=args.overlap_s,
+                chunk_frames=args.beam_chunk_frames,
+                window_frames=args.beam_window_frames,
+                max_tokens=args.beam_max_tokens)
         else:
             st = StreamingTranscriber(model, tok, chunk_s=args.chunk_s,
                                       overlap_s=args.overlap_s)

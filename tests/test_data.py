@@ -131,6 +131,15 @@ def test_compilation_cache_roundtrip(tmp_path):
     assert path
     # floor below any real compile so this tiny test graph is persisted too
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # if an earlier test in this worker already initialized the cache
+    # singleton at another dir, re-pointing the config alone is not enough
+    # (--slow ordering flake): reset so the singleton rebinds to tmp_path
+    try:
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
+    except Exception:
+        pass
 
     @jax.jit
     def f(x):
