@@ -240,6 +240,61 @@ def test_streaming_beam_with_lm_matches_full_pass(trained_hybrid):
     assert nbest and nbest[0]["text"] == full, (nbest[0]["text"], full)
 
 
+@pytest.mark.slow  # extra B=2 program compile; B=1 coverage is default
+def test_chunk_beam_batched_rows_match_single(trained_hybrid):
+    """B=2 chunk-beam streams must equal two independent B=1 runs — the
+    beam's parent gathers index as b*K+parent and a batch-crossing bug
+    would be invisible at B=1."""
+    import jax.numpy as jnp
+
+    from pytorch_end2end_speech_recognition_tpu.data.audio import load_audio
+    from pytorch_end2end_speech_recognition_tpu.decode.chunk_beam import (
+        ChunkBeamDecoder,
+    )
+
+    cfg, tok, utts, solver = trained_hybrid
+    model = solver.merged_model()
+    C = 32
+
+    def enc_logp(audio):
+        a = jnp.asarray(audio)[None]
+        lens = jnp.asarray([len(audio)], jnp.int32)
+        enc, enc_lens = model.encode(a, lens, train=False)
+        n = int(enc_lens[0])
+        lp = jax.nn.log_softmax(model.ctc_logits(enc), axis=-1)
+        return np.asarray(enc[0, :n]), np.asarray(lp[0, :n])
+
+    streams = [enc_logp(load_audio(u.audio, 16000)) for u in utts[:2]]
+    n_chunks = max(-(-len(e) // C) for e, _ in streams)
+
+    def run(pairs):
+        B = len(pairs)
+        cb = ChunkBeamDecoder(model, cfg.decode, chunk_frames=C,
+                              window_frames=256, max_tokens=32,
+                              steps_per_chunk=6)
+        carry = cb.init(B=B)
+        beam = None
+        for i in range(n_chunks):
+            ec = np.zeros((B, C, pairs[0][0].shape[-1]), np.float32)
+            lc = np.zeros((B, C, pairs[0][1].shape[-1]), np.float32)
+            cl = np.zeros((B,), np.int32)
+            for b, (e, lp) in enumerate(pairs):
+                seg = e[i * C:(i + 1) * C]
+                ec[b, :len(seg)] = seg
+                lc[b, :len(seg)] = lp[i * C:(i + 1) * C]
+                cl[b] = len(seg)
+            carry, beam = cb.feed(carry, jnp.asarray(ec), jnp.asarray(lc),
+                                  cl, final=(i == n_chunks - 1))
+        toks = np.asarray(beam["tokens"])
+        lens = np.asarray(beam["lengths"])
+        return [toks[b, 0, :lens[b, 0]].tolist() for b in range(B)]
+
+    batched = run(streams)
+    singles = [run([s])[0] for s in streams]
+    assert batched == singles, (batched, singles)
+    assert all(tok.decode(t) for t in batched)  # non-empty transcripts
+
+
 def test_chunk_beam_state_is_bounded(trained_hybrid):
     """O(1) carried state and ONE compiled program regardless of stream
     length (r4 VERDICT missing item 2): feeding 3x the audio must not grow
