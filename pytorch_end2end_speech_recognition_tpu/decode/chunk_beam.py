@@ -95,7 +95,8 @@ class ChunkBeamDecoder:
     def __init__(self, model, cfg: DecodeConfig, lm=None,
                  chunk_frames: int = 64, window_frames: int = 256,
                  steps_per_chunk: int = 16, max_tokens: int = 256,
-                 wait_threshold: float = -2.5):
+                 wait_threshold: float = -2.5,
+                 final_margin: float = 25.0):
         assert window_frames >= chunk_frames > 0
         self.cfg = cfg
         self.C = int(chunk_frames)
@@ -103,6 +104,13 @@ class ChunkBeamDecoder:
         self.S = int(steps_per_chunk)
         self.U = int(max_tokens)
         self.tau = float(wait_threshold)
+        # ESPnet-style end detection on the FINAL chunk: once some
+        # hypothesis has taken EOS and leads every live one by this many
+        # log units, further extensions cannot recover — stop instead of
+        # grinding out up to max_tokens steps (the no-EOS junk-audio
+        # worst case was 2.3 s/stream in r5_streaming.json). Large enough
+        # to never trigger on the overfit-model equivalence tests.
+        self.final_margin = float(final_margin)
         self.model_split = nnx.split(model)
         self.lm_split = nnx.split(lm) if lm is not None else None
         from pytorch_end2end_speech_recognition_tpu.models.decoder_transformer import (  # noqa: E501
@@ -317,10 +325,20 @@ class ChunkBeamDecoder:
                 "lm_state": carry["lm_state"],
             }
             budget = jnp.where(is_final, U, self.S)
+            margin = self.final_margin
 
             def cond(s):
-                return (s["step"] < budget) & ~jnp.all(
-                    s["finished"] | s["settled"])
+                row_done = jnp.all(s["finished"] | s["settled"], axis=1)
+                # final-chunk end detection (per row): a finished hyp
+                # leading every live hyp by `margin` cannot be overtaken
+                # (extensions only add negative log terms at that gap)
+                best_fin = jnp.max(
+                    jnp.where(s["finished"], s["total"], NEG_INF), axis=1)
+                best_live = jnp.max(
+                    jnp.where(~s["finished"], s["total"], NEG_INF), axis=1)
+                row_done = row_done | (
+                    is_final & (best_fin > best_live + margin))
+                return (s["step"] < budget) & ~jnp.all(row_done)
 
             def body(s):
                 att_logp_flat, stepped_dec, attn_flat = model.decoder.step(
