@@ -104,6 +104,67 @@ def test_beam_bundle_matches_live_decode(trained_hybrid, tmp_path):
     assert got == [live[i][0]["text"] for i in range(2)]
 
 
+@pytest.mark.slow  # extra beam-export compile (~60 s); the lstm-decoder
+#                    bundle equivalence runs in the default suite
+def test_beam_bundle_transformer_decoder(digits_corpus, tmp_path):
+    """The r5 flagship pairing is conformer + TRANSFORMER decoder; pin
+    that a transformer-decoder hybrid exports to a beam bundle whose
+    output is token-exact vs the live decoder (KV-cache state threading
+    must survive jax.export)."""
+    from types import SimpleNamespace
+
+    from pytorch_end2end_speech_recognition_tpu.data.manifest import (
+        read_manifest,
+    )
+    from pytorch_end2end_speech_recognition_tpu.decode.beam import (
+        BeamSearchDecoder,
+    )
+    from pytorch_end2end_speech_recognition_tpu.utils.config import AsrConfig
+
+    cfg = AsrConfig()
+    cfg.model.encoder = "blstm"
+    cfg.model.encoder_layers = 1
+    cfg.model.encoder_dim = 64
+    cfg.model.ctc_weight = 0.3
+    cfg.model.decoder = "transformer"
+    cfg.model.decoder_layers = 1
+    cfg.model.decoder_dim = 64
+    cfg.model.decoder_heads = 2
+    cfg.model.embed_dim = 64
+    cfg.model.dtype = "float32"
+    cfg.frontend.spec_augment = False
+    cfg.data.batch_size = 8
+    cfg.train.log_every = 1000
+    cfg.train.metrics_path = str(tmp_path / "m.jsonl")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.decode.mode = "beam"
+    cfg.decode.beam_size = 3
+    cfg.decode.pre_beam_k = 5
+    utts = read_manifest(digits_corpus["train"])
+    tok = CharTokenizer([u.text for u in utts])
+    solver = Solver(cfg, tok)
+    solver.fit(BucketedLoader(utts, tok, cfg.data), steps=5)
+    solver.save_checkpoint("best")
+    out = export_bundle(cfg, tok, tmp_path / "bundle_tdec",
+                        checkpoint_tag="best", mode="beam",
+                        batch_sizes=(2,), seconds=(3,))
+    bundle = load_bundle(out)
+    audios = [load_audio(u.audio, cfg.frontend.sample_rate)
+              for u in utts[:2]]
+    got = bundle.transcribe(audios)
+
+    Ts = int(3 * cfg.frontend.sample_rate)
+    batch = np.zeros((2, Ts), np.float32)
+    lens = np.zeros((2,), np.int32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+        lens[i] = len(a)
+    bsd = BeamSearchDecoder(solver.merged_model(), cfg.decode)
+    live = bsd.decode_batch(
+        SimpleNamespace(audio=batch, audio_lens=lens), tok)
+    assert got == [live[i][0]["text"] for i in range(2)]
+
+
 def test_bucket_selection_and_overflow(greedy_bundle):
     bundle = load_bundle(greedy_bundle)
     assert bundle._pick_bucket(1, int(1.5 * 16000)) == (2, 3)
