@@ -132,7 +132,11 @@ class ChunkBeamDecoder:
         K, W, U = self.cfg.beam_size, self.W, self.U
         graphdef, state = self.model_split
         model = nnx.merge(graphdef, state)
-        dec_state = model.decoder.init_state(B * K, W, U)
+        # U+1 like the LM cache below: a hypothesis AT the U-token cap is
+        # still stepped for EOS scoring with pos == U — a U-sized
+        # transformer KV cache would clamp its PE row and silently drop
+        # the cache write, corrupting the final-chunk EOS score
+        dec_state = model.decoder.init_state(B * K, W, U + 1)
         lm_state = None
         if self.lm_split is not None:
             lm = nnx.merge(*self.lm_split)
@@ -148,7 +152,6 @@ class ChunkBeamDecoder:
         return {
             "enc_win": jnp.zeros((B, W, self._d_enc), jnp.float32),
             "win_valid": jnp.zeros((B, W), bool),
-            "frames_seen": jnp.zeros((B,), jnp.int32),
             "tokens": jnp.zeros((B, K, U), jnp.int32),
             "lengths": jnp.zeros((B, K), jnp.int32),
             "last": jnp.full((B, K), SOS_EOS_ID, jnp.int32),
@@ -326,18 +329,25 @@ class ChunkBeamDecoder:
             }
             budget = jnp.where(is_final, U, self.S)
             margin = self.final_margin
+            # end detection assumes extensions only ADD NEGATIVE log
+            # terms; a positive length/coverage penalty lets a live hyp
+            # gain score per token and overtake a finished leader, so the
+            # early stop is disabled for those configs (static branch)
+            end_detect = lp_pen <= 0.0 and cov_pen <= 0.0
 
             def cond(s):
                 row_done = jnp.all(s["finished"] | s["settled"], axis=1)
-                # final-chunk end detection (per row): a finished hyp
-                # leading every live hyp by `margin` cannot be overtaken
-                # (extensions only add negative log terms at that gap)
-                best_fin = jnp.max(
-                    jnp.where(s["finished"], s["total"], NEG_INF), axis=1)
-                best_live = jnp.max(
-                    jnp.where(~s["finished"], s["total"], NEG_INF), axis=1)
-                row_done = row_done | (
-                    is_final & (best_fin > best_live + margin))
+                if end_detect:
+                    # per row: a finished hyp leading every live hyp by
+                    # `margin` cannot be overtaken at that gap
+                    best_fin = jnp.max(
+                        jnp.where(s["finished"], s["total"], NEG_INF),
+                        axis=1)
+                    best_live = jnp.max(
+                        jnp.where(~s["finished"], s["total"], NEG_INF),
+                        axis=1)
+                    row_done = row_done | (
+                        is_final & (best_fin > best_live + margin))
                 return (s["step"] < budget) & ~jnp.all(row_done)
 
             def body(s):
@@ -493,7 +503,6 @@ class ChunkBeamDecoder:
             new_carry = {
                 "enc_win": enc_win,
                 "win_valid": win_valid,
-                "frames_seen": carry["frames_seen"] + chunk_len,
                 "tokens": out["tokens"],
                 "lengths": out["lengths"],
                 "last": out["last"],

@@ -106,15 +106,12 @@ class Frontend:
         # directly (not via AsrModel/Solver, which run resolve_platform
         # first) would otherwise silently take the jnp path and later
         # AttributeError on basis_pre if impl is resolved to 'pallas'
-        # (r4 ADVICE)
-        if cfg.impl == "auto" or cfg.dft_dtype == "auto":
-            import jax
+        # (r4 ADVICE; mapping single-sourced in utils.config, r5 review)
+        from pytorch_end2end_speech_recognition_tpu.utils.config import (
+            resolve_frontend,
+        )
 
-            tpu = jax.default_backend() == "tpu"
-            if cfg.impl == "auto":
-                cfg.impl = "pallas" if tpu else "jnp"
-            if cfg.dft_dtype == "auto":
-                cfg.dft_dtype = "bfloat16" if tpu else "float32"
+        resolve_frontend(cfg)
         self.cfg = cfg
         self.win = cfg.win_length
         self.hop = cfg.hop_length

@@ -287,6 +287,23 @@ def parse_overrides(cfg: AsrConfig, pairs: list[str]) -> AsrConfig:
     return cfg
 
 
+def resolve_frontend(fe: FrontendConfig, backend: str | None = None):
+    """Resolve a FrontendConfig's 'auto' fields for the current backend.
+    The single source of the backend -> impl/dtype mapping — called by
+    resolve_platform AND by Frontend.__init__ (a FrontendConfig can be
+    constructed standalone, without an AsrModel/Solver)."""
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    tpu = backend == "tpu"
+    if fe.impl == "auto":
+        fe.impl = "pallas" if tpu else "jnp"
+    if fe.dft_dtype == "auto":
+        fe.dft_dtype = "bfloat16" if tpu else "float32"
+    return fe
+
+
 def resolve_platform(cfg: AsrConfig, backend: str | None = None) -> AsrConfig:
     """Resolve every 'auto' implementation/dtype field to the concrete value
     for the current backend — the production TPU configuration (Pallas
@@ -305,10 +322,7 @@ def resolve_platform(cfg: AsrConfig, backend: str | None = None) -> AsrConfig:
         backend = jax.default_backend()
     tpu = backend == "tpu"
     fe, m = cfg.frontend, cfg.model
-    if fe.impl == "auto":
-        fe.impl = "pallas" if tpu else "jnp"
-    if fe.dft_dtype == "auto":
-        fe.dft_dtype = "bfloat16" if tpu else "float32"
+    resolve_frontend(fe, backend)
     if m.dtype == "auto":
         m.dtype = "bfloat16" if tpu else "float32"
     if m.residual_dtype == "auto":

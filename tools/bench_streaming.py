@@ -34,7 +34,7 @@ from pytorch_end2end_speech_recognition_tpu.models.streaming import (
 )
 
 
-def run_stream(st, audio, feed, timed):
+def run_stream(st, audio, feed):
     chunks = [audio[i : i + feed] for i in range(0, len(audio), feed)]
     stream = st.init_stream()
     lat = []
@@ -74,13 +74,13 @@ def main():
     # warm-up compiles: encoder window buckets + the single chunk-beam
     # program (incl. its final-chunk branch)
     warm = (rng.standard_normal(int(12.0 * sr)) * 0.1).astype(np.float32)
-    run_stream(st, warm, feed, timed=False)
+    run_stream(st, warm, feed)
 
     per_len = {}
     for audio_s in lengths:
         audio = (rng.standard_normal(int(audio_s * sr)) * 0.1
                  ).astype(np.float32)
-        lat, t_stream = run_stream(st, audio, feed, timed=True)
+        lat, t_stream = run_stream(st, audio, feed)
         per_len[str(audio_s)] = {
             "stream_rtf": round(t_stream / audio_s, 5),
             "feed_latency_ms": {

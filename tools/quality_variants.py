@@ -48,9 +48,10 @@ def main():
             make_commands_corpus,
         )
 
-        make_commands_corpus(corpus_dir.parent / "corpus", n_train=4000,
+        # generate INTO the requested path so a corpus=... override is
+        # never silently substituted (r5 review finding)
+        make_commands_corpus(corpus_dir, n_train=4000,
                              n_dev=600, n_test=600, snr_db=8.0)
-        corpus_dir = corpus_dir.parent / "corpus"
 
     cfg = build_cfg(workdir, corpus_dir, steps)
     cfg.name = f"commands_{variant}"
