@@ -134,6 +134,10 @@ def trained_hybrid(tmp_path_factory, digits_corpus):
     cfg.decode.mode = "beam"
     cfg.decode.beam_size = 4
     cfg.decode.pre_beam_k = 6
+    # 0.3 is still ~6x the longest transcript here; the default 1.0 makes
+    # every full-pass/exported beam program compile with max_len ~ T,
+    # which alone costs ~30-60 s of the default-suite budget
+    cfg.decode.max_decode_ratio = 0.3
     utts = read_manifest(digits_corpus["train"])
     tok = CharTokenizer([u.text for u in utts])
     solver = Solver(cfg, tok)
